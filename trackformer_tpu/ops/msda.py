@@ -1,0 +1,143 @@
+"""Multi-scale deformable attention (MSDA) — TPU-native core op.
+
+Semantic spec: the reference CUDA extension
+(/root/reference/src/trackformer/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:166-237)
+and its pure-PyTorch twin `ms_deform_attn_core_pytorch`
+(/root/reference/src/trackformer/models/ops/functions/ms_deform_attn_func.py:34-54):
+for every (batch, query, head) the op bilinearly samples the flattened
+multi-level value tensor at P points per level (grid_sample semantics:
+align_corners=False, zero padding) and reduces with softmaxed attention
+weights.
+
+Shapes (contract identical to the reference op,
+/root/reference/src/trackformer/models/ops/modules/ms_deform_attn.py:49-59):
+  value:              (N, S, M, D)   S = sum_l H_l*W_l
+  spatial_shapes:     static tuple ((H_0, W_0), ..., (H_{L-1}, W_{L-1}))
+  sampling_locations: (N, Lq, M, L, P, 2) in [0, 1] (x, y)
+  attention_weights:  (N, Lq, M, L, P) normalized over L*P
+  -> output:          (N, Lq, M*D)
+
+TPU design: instead of the CUDA per-thread scalar loop, each level is one
+big batched take-along-axis gather (XLA lowers this to vectorized HBM/VMEM
+gathers) of the 4 bilinear corners, fused with the corner/attention weight
+multiply-reduce. Backward falls out of autodiff (gather -> scatter-add),
+mirroring the col2im kernels. Spatial shapes must be Python ints so the op
+is shape-static under jit.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray, attn: jnp.ndarray,
+                  h: int, w: int) -> jnp.ndarray:
+    """Sample one level.
+
+    value_l: (N, M, H*W, D); loc: (N, Lq, M, P, 2); attn: (N, Lq, M, P)
+    -> (N, Lq, M, D)
+    """
+    n, m, _, d = value_l.shape
+    _, lq, _, p, _ = loc.shape
+    compute_dtype = value_l.dtype
+
+    # grid_sample(align_corners=False): x = loc_x * W - 0.5
+    x = loc[..., 0] * w - 0.5
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx = (x - x0).astype(compute_dtype)
+    dy = (y - y0).astype(compute_dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # (N, Lq, M, P) -> (N, M, Lq*P) index/weight layout for batched gather.
+    def to_nm(t):
+        return t.transpose(0, 2, 1, 3).reshape(n, m, lq * p)
+
+    x0i, y0i, dx, dy = map(to_nm, (x0i, y0i, dx, dy))
+    attn = to_nm(attn).astype(compute_dtype)
+
+    out = jnp.zeros((n, m, lq * p, d), dtype=compute_dtype)
+    for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        ix = x0i + cx
+        iy = y0i + cy
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+        wx = dx if cx else (1.0 - dx)
+        wy = dy if cy else (1.0 - dy)
+        cw = wx * wy * valid.astype(compute_dtype) * attn
+        gathered = jnp.take_along_axis(value_l, idx[..., None], axis=2)
+        out = out + gathered * cw[..., None]
+
+    # sum over P points -> (N, M, Lq, D) -> (N, Lq, M, D)
+    out = out.reshape(n, m, lq, p, d).sum(axis=3)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ms_deform_attn(value: jnp.ndarray,
+                   spatial_shapes: Tuple[Tuple[int, int], ...],
+                   sampling_locations: jnp.ndarray,
+                   attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Multi-scale deformable attention core (see module docstring)."""
+    n, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    assert l == len(spatial_shapes), (l, spatial_shapes)
+    assert s == sum(h * w for h, w in spatial_shapes)
+
+    value = value.transpose(0, 2, 1, 3)  # (N, M, S, D)
+
+    out = jnp.zeros((n, lq, m, d), dtype=value.dtype)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        value_l = jax.lax.slice_in_dim(value, offset, offset + h * w, axis=2)
+        out = out + _level_sample(
+            value_l,
+            sampling_locations[:, :, :, lvl],
+            attention_weights[:, :, :, lvl],
+            h, w)
+        offset += h * w
+    return out.reshape(n, lq, m * d)
+
+
+def ms_deform_attn_reference(value: jnp.ndarray,
+                             spatial_shapes: Sequence[Tuple[int, int]],
+                             sampling_locations: jnp.ndarray,
+                             attention_weights: jnp.ndarray) -> jnp.ndarray:
+    """Naive per-point reference (readable, used only in tests)."""
+    n, s, m, d = value.shape
+    _, lq, _, l, p, _ = sampling_locations.shape
+    out = jnp.zeros((n, lq, m, d), dtype=jnp.float32)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, offset:offset + h * w].reshape(n, h, w, m, d)
+        for pt in range(p):
+            loc = sampling_locations[:, :, :, lvl, pt]  # (N, Lq, M, 2)
+            aw = attention_weights[:, :, :, lvl, pt]  # (N, Lq, M)
+            x = loc[..., 0] * w - 0.5
+            y = loc[..., 1] * h - 0.5
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            dx, dy = x - x0, y - y0
+            acc = jnp.zeros((n, lq, m, d), jnp.float32)
+            for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                ix, iy = x0 + cx, y0 + cy
+                ok = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                ixc = jnp.clip(ix, 0, w - 1)
+                iyc = jnp.clip(iy, 0, h - 1)
+                wgt = (dx if cx else 1 - dx) * (dy if cy else 1 - dy) * ok
+                # explicit per-element gather via vmap
+                g = jax.vmap(  # over batch
+                    jax.vmap(  # over query
+                        jax.vmap(lambda vv, yy, xx: vv[yy, xx],
+                                 in_axes=(2, 0, 0), out_axes=0),
+                        in_axes=(None, 0, 0)),
+                    in_axes=(0, 0, 0))(v, iyc, ixc)
+                acc = acc + g * wgt[..., None]
+            out = out + acc * aw[..., None]
+        offset += h * w
+    return out.reshape(n, lq, m * d)
