@@ -1,0 +1,165 @@
+"""Tracker state-machine behavior on scripted synthetic sequences
+(SURVEY.md §4 implication (d)): init, persistence, termination, track-query
+reid, NMS suppression — with a fake detector standing in for the model.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trackformer_tpu.models.postprocess import postprocess_softmax
+from trackformer_tpu.structures import FrameBatch
+from trackformer_tpu.tracking.tracker import Tracker
+
+S = 8  # track slots
+Q = 6  # object queries
+HID = 4
+
+
+def make_fake_apply(gt_sequence):
+    """gt_sequence: (F, N, 4) normalized cxcywh, nan rows = absent.
+
+    Object query i detects gt[frame, i] when present (score ~0.95).
+    A track query echoes its input box when a present gt center is within
+    0.05, else scores low. hs embeds are one-hot of gt index.
+    """
+    gt = jnp.asarray(gt_sequence)
+
+    def apply_fn(params, batch, targets, prev_features):
+        frame = batch.images[0, 0, 0, 0].astype(jnp.int32)
+        boxes_f = gt[frame]  # (N, 4)
+        present = ~jnp.isnan(boxes_f[:, 0])
+        boxes_f = jnp.nan_to_num(boxes_f)
+        n = boxes_f.shape[0]
+
+        hi, lo = 8.0, -8.0
+        obj_logits = jnp.stack(
+            [jnp.where(present, hi, lo),
+             jnp.full((n,), lo), jnp.where(present, lo, hi)], -1)
+        obj_logits = jnp.concatenate(
+            [obj_logits, jnp.tile(jnp.array([[lo, lo, hi]]), (Q - n, 1))], 0)
+        obj_boxes = jnp.concatenate(
+            [boxes_f, jnp.zeros((Q - n, 4))], 0)
+        obj_hs = jnp.concatenate(
+            [jax.nn.one_hot(jnp.arange(n), HID),
+             jnp.zeros((Q - n, HID))], 0)
+
+        if targets is not None and targets.tq_boxes is not None:
+            k = targets.tq_boxes.shape[1]
+            tq = targets.tq_boxes[0]  # (K, 4) cxcywh
+            d = jnp.linalg.norm(tq[:, None, :2] - boxes_f[None, :, :2],
+                                axis=-1)
+            near = (d < 0.05) & present[None, :]
+            hit = jnp.any(near, axis=1) & targets.tq_valid[0]
+            gt_idx = jnp.argmax(near, axis=1)
+            tq_boxes_out = jnp.where(hit[:, None], boxes_f[gt_idx], tq)
+            tq_logits = jnp.stack(
+                [jnp.where(hit, hi, lo), jnp.full((k,), lo),
+                 jnp.where(hit, lo, hi)], -1)
+            tq_hs = jnp.where(hit[:, None],
+                              jax.nn.one_hot(gt_idx, HID), 0.0)
+            logits = jnp.concatenate([tq_logits, obj_logits], 0)
+            boxes = jnp.concatenate([tq_boxes_out, obj_boxes], 0)
+            hs = jnp.concatenate([tq_hs, obj_hs], 0)
+        else:
+            logits, boxes, hs = obj_logits, obj_boxes, obj_hs
+
+        out = {"pred_logits": logits[None], "pred_boxes": boxes[None],
+               "hs_embed": hs[None],
+               "query_valid": jnp.ones((1, logits.shape[0]), bool)}
+        return out, targets, None, None, None
+
+    return apply_fn
+
+
+def run_sequence(gt, tracker_cfg=None):
+    cfg = {
+        "detection_obj_score_thresh": 0.4, "track_obj_score_thresh": 0.4,
+        "detection_nms_thresh": 0.9, "track_nms_thresh": 0.9,
+        "public_detections": False, "inactive_patience": -1,
+        "reid_sim_threshold": 0.0, "reid_sim_only": False,
+        "reid_score_thresh": 0.4, "reid_greedy_matching": False,
+        "prev_frame_dist": 1, "steps_termination": 1, "max_tracks": S,
+    }
+    cfg.update(tracker_cfg or {})
+    tracker = Tracker(params={}, apply_fn=make_fake_apply(gt),
+                      postprocess=postprocess_softmax, tracker_cfg=cfg,
+                      hidden_dim=HID, num_object_queries=Q)
+    for f in range(len(gt)):
+        img = jnp.full((1, 8, 8, 3), float(f))
+        batch = FrameBatch.from_images(img)
+        tracker.step({"batch": batch, "orig_size": np.array([[100, 100]])})
+    return tracker
+
+
+NAN = [np.nan] * 4
+
+
+def test_init_and_persist():
+    gt = np.array([
+        [[0.3, 0.3, 0.1, 0.1], [0.7, 0.7, 0.1, 0.1]],
+        [[0.32, 0.3, 0.1, 0.1], [0.7, 0.72, 0.1, 0.1]],
+        [[0.34, 0.3, 0.1, 0.1], [0.7, 0.74, 0.1, 0.1]],
+    ], np.float32)
+    tracker = run_sequence(gt)
+    results = tracker.get_results()
+    assert sorted(results.keys()) == [0, 1]
+    assert sorted(results[0].keys()) == [0, 1, 2]
+    assert sorted(results[1].keys()) == [0, 1, 2]
+    # boxes follow gt: track for object 0 at frame 2 near (0.34, 0.3)*100
+    b = results[0][2]["bbox"] if abs(
+        results[0][2]["bbox"][0] - 29) < 3 else results[1][2]["bbox"]
+    np.testing.assert_allclose((b[0] + b[2]) / 2, 34, atol=1.5)
+
+
+def test_termination_and_new_id():
+    gt = np.array([
+        [[0.3, 0.3, 0.1, 0.1]],
+        [[0.3, 0.3, 0.1, 0.1]],
+        [NAN],  # disappears
+        [NAN],
+        [[0.3, 0.3, 0.1, 0.1]],  # reappears -> new id (patience -1)
+    ], np.float32)
+    tracker = run_sequence(gt)
+    results = tracker.get_results()
+    # id 1 is consumed at frame 1 by a duplicate detection that detection-NMS
+    # immediately removes (the reference's track_num also advances there,
+    # tracker.py:107), so the reappearance gets id 2.
+    assert sorted(results.keys()) == [0, 2]
+    assert sorted(results[0].keys()) == [0, 1]
+    assert sorted(results[2].keys()) == [4]
+
+
+def test_track_query_reid_with_patience():
+    gt = np.array([
+        [[0.3, 0.3, 0.1, 0.1]],
+        [NAN],
+        [[0.31, 0.3, 0.1, 0.1]],  # back near old position
+    ], np.float32)
+    tracker = run_sequence(gt, {"inactive_patience": 5})
+    results = tracker.get_results()
+    # inactive track query revives: same id covers frames 0 and 2
+    assert sorted(results.keys()) == [0]
+    assert sorted(results[0].keys()) == [0, 2]
+    assert tracker.num_reids == 1
+
+
+def test_detection_nms_suppresses_duplicates():
+    # two gt objects almost fully overlapping -> detection NMS keeps one
+    gt = np.array([
+        [[0.5, 0.5, 0.2, 0.2], [0.505, 0.5, 0.2, 0.2]],
+    ], np.float32)
+    tracker = run_sequence(gt, {"detection_nms_thresh": 0.5})
+    assert len(tracker.get_results()) == 1
+
+
+def test_steps_termination_2_keeps_track_alive_one_gap_frame():
+    gt = np.array([
+        [[0.3, 0.3, 0.1, 0.1]],
+        [NAN],  # one-frame dropout: count_termination = 1 < 2
+        [[0.3, 0.3, 0.1, 0.1]],
+    ], np.float32)
+    tracker = run_sequence(gt, {"steps_termination": 2})
+    results = tracker.get_results()
+    assert sorted(results.keys()) == [0]
+    # frame 1: track kept alive (still reported with stale box)
+    assert sorted(results[0].keys()) == [0, 1, 2]

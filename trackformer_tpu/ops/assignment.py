@@ -120,3 +120,15 @@ def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
 def hungarian_batched(costs: jnp.ndarray) -> jnp.ndarray:
     """vmapped solver for (B, R, C) -> (B, R)."""
     return jax.vmap(hungarian)(costs)
+
+
+@jax.jit
+def hungarian_rect(cost: jnp.ndarray) -> jnp.ndarray:
+    """Rectangular solve for any (R, C): returns (R,) col per row, -1 for
+    rows left unassigned when R > C (scipy matches min(R, C) pairs)."""
+    r, c = cost.shape
+    if r <= c:
+        return hungarian(cost)
+    row4col = hungarian(cost.T)  # (C,) row assigned to each column
+    out = jnp.full((r,), -1, jnp.int32)
+    return out.at[row4col].set(jnp.arange(c, dtype=jnp.int32))
