@@ -33,49 +33,54 @@ import jax
 import jax.numpy as jnp
 
 
-def _level_sample(value_l: jnp.ndarray, loc: jnp.ndarray, attn: jnp.ndarray,
-                  h: int, w: int) -> jnp.ndarray:
-    """Sample one level.
+def _corner_indices_weights(spatial_shapes, sampling_locations,
+                            attention_weights):
+    """Global row indices + folded weights for all (level, point, corner)
+    samples.
 
-    value_l: (N, M, H*W, D); loc: (N, Lq, M, P, 2); attn: (N, Lq, M, P)
-    -> (N, Lq, M, D)
+    Returns idx (N, Lq, M, L, P, 4) int32 into a head-major flat value table
+    of N*M*S rows, and weights of the same shape (bilinear corner weight *
+    attention weight * in-bounds mask). Index layout: row (n, m, s) ->
+    (n * M + m) * S + level_offset + y * W + x.
     """
-    n, m, _, d = value_l.shape
-    _, lq, _, p, _ = loc.shape
-    compute_dtype = value_l.dtype
+    n, lq, m, l, p, _ = sampling_locations.shape
+    s_total = sum(h * w for h, w in spatial_shapes)
 
-    # grid_sample(align_corners=False): x = loc_x * W - 0.5
-    x = loc[..., 0] * w - 0.5
-    y = loc[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = (x - x0).astype(compute_dtype)
-    dy = (y - y0).astype(compute_dtype)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    idx_levels, w_levels = [], []
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        loc = sampling_locations[:, :, :, lvl]  # (N, Lq, M, P, 2)
+        # grid_sample(align_corners=False): x = loc_x * W - 0.5
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        dx = x - x0
+        dy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        attn = attention_weights[:, :, :, lvl]  # (N, Lq, M, P)
 
-    # (N, Lq, M, P) -> (N, M, Lq*P) index/weight layout for batched gather.
-    def to_nm(t):
-        return t.transpose(0, 2, 1, 3).reshape(n, m, lq * p)
+        idx_c, w_c = [], []
+        for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+            ix = x0i + cx
+            iy = y0i + cy
+            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            idx = offset + jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+            wx = dx if cx else (1.0 - dx)
+            wy = dy if cy else (1.0 - dy)
+            idx_c.append(idx)
+            w_c.append(wx * wy * valid * attn)
+        idx_levels.append(jnp.stack(idx_c, axis=-1))  # (N, Lq, M, P, 4)
+        w_levels.append(jnp.stack(w_c, axis=-1))
+        offset += h * w
 
-    x0i, y0i, dx, dy = map(to_nm, (x0i, y0i, dx, dy))
-    attn = to_nm(attn).astype(compute_dtype)
-
-    out = jnp.zeros((n, m, lq * p, d), dtype=compute_dtype)
-    for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        ix = x0i + cx
-        iy = y0i + cy
-        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-        idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
-        wx = dx if cx else (1.0 - dx)
-        wy = dy if cy else (1.0 - dy)
-        cw = wx * wy * valid.astype(compute_dtype) * attn
-        gathered = jnp.take_along_axis(value_l, idx[..., None], axis=2)
-        out = out + gathered * cw[..., None]
-
-    # sum over P points -> (N, M, Lq, D) -> (N, Lq, M, D)
-    out = out.reshape(n, m, lq, p, d).sum(axis=3)
-    return out.transpose(0, 2, 1, 3)
+    idx = jnp.stack(idx_levels, axis=3)  # (N, Lq, M, L, P, 4)
+    weights = jnp.stack(w_levels, axis=3)
+    # head-major flat table offset
+    nm_off = (jnp.arange(n)[:, None] * m + jnp.arange(m)[None, :]) * s_total
+    idx = idx + nm_off[:, None, :, None, None, None]
+    return idx, weights
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -83,25 +88,31 @@ def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Tuple[Tuple[int, int], ...],
                    sampling_locations: jnp.ndarray,
                    attention_weights: jnp.ndarray) -> jnp.ndarray:
-    """Multi-scale deformable attention core (see module docstring)."""
+    """Multi-scale deformable attention core (see module docstring).
+
+    All (batch, head, level, point, corner) samples are fused into ONE flat
+    row-gather — the layout XLA:TPU lowers to its fastest gather path — with
+    the bilinear/attention weighting fused into the gather consumer.
+    """
     n, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
     assert l == len(spatial_shapes), (l, spatial_shapes)
     assert s == sum(h * w for h, w in spatial_shapes)
 
-    value = value.transpose(0, 2, 1, 3)  # (N, M, S, D)
-
-    out = jnp.zeros((n, lq, m, d), dtype=value.dtype)
-    offset = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        value_l = jax.lax.slice_in_dim(value, offset, offset + h * w, axis=2)
-        out = out + _level_sample(
-            value_l,
-            sampling_locations[:, :, :, lvl],
-            attention_weights[:, :, :, lvl],
-            h, w)
-        offset += h * w
-    return out.reshape(n, lq, m * d)
+    flat_value = value.transpose(0, 2, 1, 3).reshape(n * m * s, d)
+    idx, weights = _corner_indices_weights(
+        spatial_shapes, sampling_locations, attention_weights)
+    k = l * p * 4
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    gathered = jax.lax.gather(
+        flat_value, idx.reshape(-1, 1), dn, slice_sizes=(1, d),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    gathered = gathered.reshape(n, lq, m, k, d)
+    out = jnp.einsum("nqmk,nqmkd->nqmd",
+                     weights.reshape(n, lq, m, k).astype(value.dtype),
+                     gathered, preferred_element_type=jnp.float32)
+    return out.astype(value.dtype).reshape(n, lq, m * d)
 
 
 def ms_deform_attn_reference(value: jnp.ndarray,
