@@ -1,0 +1,55 @@
+"""End-to-end integration: tiny tracking training run + tracking inference
+over the synthetic MOT dataset (SURVEY.md §4 implication (d))."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from synth_data import make_synth_mot  # noqa: E402
+
+TINY = [
+    "deformable", "tracking",
+    "enc_layers=1", "dec_layers=2", "hidden_dim=96", "nheads=4",
+    "dim_feedforward=128", "num_queries=12", "batch_size=2",
+    "num_workers=0", "epochs=1", "val_interval=0", "debug=true",
+    "track_prev_frame_range=2",
+    "img_transform.max_size=160", "img_transform.val_width=128",
+    "tpu.image_buckets=[[128,160]]", "tpu.max_objects=8",
+    "tpu.compute_dtype=float32", "tpu.remat=false",
+]
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthmot")
+    return make_synth_mot(root)
+
+
+def test_train_debug_epoch(synth_root, tmp_path):
+    from trackformer_tpu.cli.train import main
+    out = tmp_path / "out"
+    state = main([
+        "with", *TINY,
+        "dataset=mot",
+        f"mot_path_train={synth_root}", f"mot_path_val={synth_root}",
+        "train_split=synth_train", "val_split=synth_train",
+        "tracking_eval=false",
+        f"output_dir={out}",
+    ])
+    assert int(state.step) >= 1
+    assert (out / "config.yaml").exists()
+    assert (out / "checkpoint_params.npz").exists()
+
+
+def test_eval_only_coco_map(synth_root, tmp_path):
+    from trackformer_tpu.cli.train import main
+    stats = main([
+        "with", *TINY,
+        "dataset=mot", "eval_only=true", "tracking_eval=false",
+        f"mot_path_train={synth_root}", f"mot_path_val={synth_root}",
+        "train_split=synth_train", "val_split=synth_train",
+    ])
+    assert "coco_eval_bbox" in stats
+    assert len(stats["coco_eval_bbox"]) == 12

@@ -55,6 +55,11 @@ def pick_bucket(hw_list: Sequence[Tuple[int, int]],
 def pad_image(img: np.ndarray, bucket: Tuple[int, int]) -> np.ndarray:
     h, w = img.shape[:2]
     bh, bw = bucket
+    if h > bh or w > bw:
+        raise ValueError(
+            f"image ({h}, {w}) exceeds the largest bucket ({bh}, {bw}); "
+            "add a larger entry to tpu.image_buckets or lower "
+            "img_transform.max_size")
     return np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)))
 
 

@@ -1,0 +1,109 @@
+"""Epoch loops: training and evaluation.
+
+Parity target: /root/reference/src/trackformer/engine.py —
+`train_one_epoch` (:101-175 incl. the non-finite loss abort :142-145),
+`evaluate` (:178-357) combining loss logging, COCO detection eval via
+`make_results` (:24-98), and the in-process tracking eval that re-enters the
+track CLI with the live model (:283-337).
+"""
+from __future__ import annotations
+
+import math
+import sys
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.criterion import compute_losses
+from ..utils.metrics import MetricLogger
+
+
+def train_one_epoch(train_step, state, loader, device_put, epoch: int,
+                    rng, weight_dict: Dict[str, float],
+                    vis=None, print_freq: int = 50, debug: bool = False):
+    logger = MetricLogger(print_freq, vis=vis, debug=debug)
+    header = f"Epoch: [{epoch}]"
+    for pack in logger.log_every(loader, header):
+        pack = device_put(pack)
+        state, metrics = train_step(state, pack, rng)
+        loss_value = float(metrics["loss"])
+        if not math.isfinite(loss_value):
+            print(f"Loss is {loss_value}, stopping training")
+            print({k: float(v) for k, v in metrics.items()})
+            sys.exit(1)
+        logger.update(**{k: float(v) for k, v in metrics.items()
+                         if not k.startswith("_")})
+    return state, {k: m.global_avg for k, m in logger.meters.items()}
+
+
+def make_results(outputs: Dict, targets, postprocess,
+                 num_object_queries: int) -> Dict[int, dict]:
+    """Model outputs -> per-image detection dicts at original resolution
+    (reference engine.py:24-98). Only object-query slots feed detection
+    eval."""
+    res = postprocess(outputs, jnp.asarray(targets.orig_size))
+    out = {}
+    boxes = np.asarray(res["boxes"])[:, -num_object_queries:]
+    scores = np.asarray(res["scores"])[:, -num_object_queries:]
+    labels = np.asarray(res["labels"])[:, -num_object_queries:]
+    image_ids = np.asarray(targets.image_id)
+    for i, img_id in enumerate(image_ids):
+        out[int(img_id)] = {
+            "boxes": boxes[i],
+            "scores": scores[i],
+            "labels": labels[i] + 1,  # back to 1-based category ids
+        }
+    return out
+
+
+def evaluate(model, params, criterion_cfg, postprocessors, loader,
+             device_put, gt_dataset, args, vis=None,
+             obj_detector_model=None) -> Dict:
+    from ..datasets.coco_eval import CocoEvaluator
+
+    logger = MetricLogger(args.vis_and_log_interval,
+                          debug=getattr(args, "debug", False))
+    evaluator = CocoEvaluator(gt_dataset)
+
+    @jax.jit
+    def eval_step(params, batch, targets):
+        out, tgts, _, _, _ = model.apply(params, batch, targets,
+                                         deterministic=True)
+        losses = compute_losses(out, tgts, criterion_cfg)
+        return out, losses
+
+    for pack in logger.log_every(loader, "Test:"):
+        pack = device_put(pack)
+        out, losses = eval_step(params, pack["batch"], pack["targets"])
+        logger.update(**{k: float(v) for k, v in losses.items()
+                         if k in criterion_cfg.weight_dict
+                         or k in ("class_error", "cardinality_error")})
+        evaluator.update(make_results(out, pack["targets"],
+                                      postprocessors["bbox"],
+                                      args.num_queries))
+
+    evaluator.synchronize_between_processes()
+    coco_stats = evaluator.summarize()
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    stats["coco_eval_bbox"] = coco_stats["bbox"]
+    stats["AP"] = coco_stats["bbox"][0]
+    stats["AP50"] = coco_stats["bbox"][1]
+
+    if getattr(args, "tracking", False) and getattr(args, "tracking_eval",
+                                                    False):
+        from ..cli import track as track_cli
+        print("TRACK SEQS (in-process tracking eval)")
+        summary = track_cli.main(
+            ["with",
+             f"dataset_name={args.val_split_track_dataset}"
+             if hasattr(args, "val_split_track_dataset") else
+             "dataset_name=MOT17-TRAIN-ALL",
+             f"data_root_dir={getattr(args, 'data_root_dir', 'data')}",
+             "output_dir=null"],
+            obj_detector_model=obj_detector_model)
+        if summary and "OVERALL" in summary:
+            stats["MOTA"] = summary["OVERALL"]["mota"]
+            stats["IDF1"] = summary["OVERALL"]["idf1"]
+    return stats
