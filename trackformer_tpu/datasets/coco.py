@@ -29,7 +29,7 @@ class CocoDetection:
                  prev_frame: bool = False, prev_frame_rnd_augs: float = 0.0,
                  prev_prev_frame: bool = False, return_masks: bool = False,
                  min_num_objects: int = 0, overflow_boxes: bool = False,
-                 remove_no_obj_imgs: bool = True):
+                 remove_no_obj_imgs: bool = False):
         self.root = Path(img_folder)
         self._transforms = transforms
         self._norm_transforms = norm_transforms
