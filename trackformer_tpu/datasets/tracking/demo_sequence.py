@@ -68,17 +68,15 @@ class DemoSequence:
     def __getitem__(self, idx: int) -> dict:
         if self._paths:
             with Image.open(self._paths[idx]) as im:
-                img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+                img_u8 = np.asarray(im.convert("RGB"))
             path = self._paths[idx]
         else:
-            img = self._frames[idx].astype(np.float32) / 255.0
+            img_u8 = self._frames[idx]
             path = f"{self}_{idx:06d}.jpg"
-        oh, ow = img.shape[:2]
-        img, _ = self._resize(img, None)
-        img, _ = self._normalize(img, None)
-        h, w = img.shape[:2]
-        bh, bw = round_up(h), round_up(w)
-        padded = np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)))
+        oh, ow = img_u8.shape[:2]
+        from .mot17_sequence import preprocess_frame
+        padded, (h, w) = preprocess_frame(img_u8, self._resize)
+        bh, bw = padded.shape[:2]
         mask = (np.arange(bh)[:, None] >= h) | (np.arange(bw)[None, :] >= w)
         return {
             "batch": FrameBatch(images=padded[None], mask=mask[None]),

@@ -29,6 +29,27 @@ def round_up(x: int, m: int = 64) -> int:
     return ((x + m - 1) // m) * m
 
 
+def preprocess_frame(img_u8: np.ndarray, resize: "T.FixedResize"):
+    """uint8 HWC frame -> (padded float32 array, valid (h, w)).
+
+    Uses the native fused resize+normalize+pad (native/trackformer_native.cpp)
+    when built, else the PIL/numpy path."""
+    from ... import native
+    oh, ow = img_u8.shape[:2]
+    th, tw = T.get_size_with_aspect_ratio((oh, ow), resize.size,
+                                          resize.max_size)
+    bh, bw = round_up(th), round_up(tw)
+    out = native.resize_normalize_pad(img_u8, (th, tw), (bh, bw),
+                                      T.IMAGENET_MEAN, T.IMAGENET_STD)
+    if out is not None:
+        return out, (th, tw)
+    img = img_u8.astype(np.float32) / 255.0
+    img, _ = resize(img, None)
+    img, _ = T.Normalize()(img, None)
+    h, w = img.shape[:2]
+    return np.pad(img, ((0, bh - h), (0, bw - w), (0, 0))), (h, w)
+
+
 class MOTSequenceBase:
     """One MOTChallenge sequence, iterated frame by frame."""
 
@@ -71,13 +92,10 @@ class MOTSequenceBase:
     def __getitem__(self, idx: int) -> dict:
         d = self.data[idx]
         with Image.open(d["im_path"]) as im:
-            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
-        oh, ow = img.shape[:2]
-        img, _ = self._resize(img, None)
-        img, _ = self._normalize(img, None)
-        h, w = img.shape[:2]
-        bh, bw = round_up(h), round_up(w)
-        padded = np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)))
+            img_u8 = np.asarray(im.convert("RGB"))
+        oh, ow = img_u8.shape[:2]
+        padded, (h, w) = preprocess_frame(img_u8, self._resize)
+        bh, bw = padded.shape[:2]
         ys = np.arange(bh)[:, None]
         xs = np.arange(bw)[None, :]
         mask = (ys >= h) | (xs >= w)
