@@ -32,7 +32,8 @@ def main():
         TrackerConfig, init_state, make_tracker_step)
     from trackformer_tpu.utils.config import load_config, nested_namespace
 
-    cfg = load_config("train.yaml", ["deformable", "tracking", "multi_frame"])
+    cfg = load_config("train.yaml", ["deformable", "tracking", "multi_frame"],
+                      {"tpu.encoder_attention": "windowed"})
     args = nested_namespace(cfg)
     model, _, postprocessors, _ = build_model(args)
 
@@ -92,6 +93,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_REFERENCE_A100_FPS, 3),
+        "encoder_mode": "windowed (TPU-fast; exact-MSDA parity mode runs "
+                        "~2.3 fps, gather-bound - see ops/msda.py notes)",
     }))
 
 

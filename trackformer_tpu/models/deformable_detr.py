@@ -99,6 +99,9 @@ class DeformableDETR(nn.Module):
     aux_loss: bool = True
     dtype: Any = jnp.float32
     remat: bool = False
+    # 'msda' = exact deformable attention (reference parity);
+    # 'windowed' = TPU-fast shifted-window encoder (see windowed_encoder.py)
+    encoder_attention: str = "msda"
 
     @property
     def total_levels(self) -> int:
@@ -128,10 +131,16 @@ class DeformableDETR(nn.Module):
                       if (self.multi_frame_attention
                           and self.multi_frame_attention_separate_encoder)
                       else self.total_levels)
-        self.encoder = DeformableEncoder(
-            self.hidden_dim, enc_levels, self.enc_layers, self.nheads,
-            self.enc_n_points, self.dim_feedforward, self.dropout,
-            self.dtype, self.remat)
+        if self.encoder_attention == "windowed":
+            from .windowed_encoder import WindowedEncoder
+            self.encoder = WindowedEncoder(
+                self.hidden_dim, self.enc_layers, self.nheads,
+                self.dim_feedforward, self.dropout, dtype=self.dtype)
+        else:
+            self.encoder = DeformableEncoder(
+                self.hidden_dim, enc_levels, self.enc_layers, self.nheads,
+                self.enc_n_points, self.dim_feedforward, self.dropout,
+                self.dtype, self.remat)
 
         self.decoder_layers = [
             DeformableDecoderLayer(self.hidden_dim, self.total_levels,
@@ -255,7 +264,21 @@ class DeformableDETR(nn.Module):
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
 
         # encoder (optionally one pass per frame with shared weights)
-        if (self.multi_frame_attention
+        if self.encoder_attention == "windowed":
+            poses_wl = [
+                (p + self.level_embed[i][None, None, None].astype(self.dtype))
+                for i, p in enumerate(poses)]
+            if (self.multi_frame_attention
+                    and self.multi_frame_attention_separate_encoder):
+                half = len(srcs) // 2
+                prev_memory = self.encoder(srcs[:half], masks[:half],
+                                           poses_wl[:half], deterministic)
+                cur_memory = self.encoder(srcs[half:], masks[half:],
+                                          poses_wl[half:], deterministic)
+                memory = jnp.concatenate([cur_memory, prev_memory], axis=1)
+            else:
+                memory = self.encoder(srcs, masks, poses_wl, deterministic)
+        elif (self.multi_frame_attention
                 and self.multi_frame_attention_separate_encoder):
             half_tokens = src_flat.shape[1] // 2
             half_levels = self.total_levels // 2

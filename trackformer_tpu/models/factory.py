@@ -85,6 +85,8 @@ def build_model(args) -> Tuple[Any, CriterionConfig, Dict, TrackingConfig]:
             merge_frame_features=args.merge_frame_features,
             overflow_boxes=args.overflow_boxes,
             remat=remat,
+            encoder_attention=(getattr(tpu_cfg, "encoder_attention", "msda")
+                               if tpu_cfg else "msda"),
         )
         model = (DeformableDETRSegm(**kwargs, freeze_detr=args.freeze_detr)
                  if args.masks else DeformableDETR(**kwargs))
