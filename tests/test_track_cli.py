@@ -1,0 +1,102 @@
+"""track CLI end-to-end over a synthetic MOT17-layout dataset:
+(a) perfect results loaded from files -> MOTA/IDF1 == 1.0 (exercises
+factory, seqinfo/gt parsing, MOTChallenge result I/O, metric eval);
+(b) a live tiny-model pass (random weights) writes result files."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+from synth_data import make_synth_mot  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def mot17_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthmot17") / "MOT17"
+    make_synth_mot(root, n_seqs=1, n_frames=6)
+    # rename to a registry-valid sequence name
+    src = root / "train" / "SYN-01"
+    dst = root / "train" / "MOT17-02-FRCNN"
+    src.rename(dst)
+    import configparser
+    ini = configparser.ConfigParser()
+    ini.read(dst / "seqinfo.ini")
+    ini["Sequence"]["name"] = "MOT17-02-FRCNN"
+    with open(dst / "seqinfo.ini", "w") as f:
+        ini.write(f)
+    return root.parent
+
+
+def _gt_as_results(seq):
+    results = {}
+    for f_idx in range(len(seq)):
+        for tid, box in seq.data[f_idx]["gt"].items():
+            results.setdefault(tid - 1, {})[f_idx] = {
+                "bbox": np.asarray(box, np.float32), "score": 1.0}
+    return results
+
+
+def test_loaded_results_perfect_mota(mot17_root, tmp_path):
+    from trackformer_tpu.cli.track import main
+    from trackformer_tpu.datasets.tracking import TrackDatasetFactory
+
+    dataset = TrackDatasetFactory("MOT17-02-FRCNN",
+                                  root_dir=str(mot17_root),
+                                  img_transform=None)
+    seq = dataset[0]
+    res_dir = tmp_path / "results"
+    seq.write_results(_gt_as_results(seq), str(res_dir))
+    assert (res_dir / "MOT17-02-FRCNN.txt").exists()
+
+    summary = main([
+        "with", "dataset_name=MOT17-02-FRCNN",
+        f"data_root_dir={mot17_root}",
+        f"load_results_dir={res_dir}",
+        "obj_detect_checkpoint_file=null",
+        "output_dir=null",
+    ])
+    overall = summary["OVERALL"]
+    assert overall["mota"] == pytest.approx(1.0)
+    assert overall["idf1"] == pytest.approx(1.0)
+    assert overall["num_switches"] == 0
+
+
+def test_live_tracker_writes_results(mot17_root, tmp_path):
+    import yaml
+
+    from trackformer_tpu.cli.track import main
+    from trackformer_tpu.models import build_model
+    from trackformer_tpu.structures import FrameBatch
+    from trackformer_tpu.utils.checkpoint import save_params_npz
+    from trackformer_tpu.utils.config import load_config, nested_namespace
+
+    import jax
+    import jax.numpy as jnp
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    cfg = load_config("train.yaml", ["deformable", "tracking"], {
+        "enc_layers": 1, "dec_layers": 1, "hidden_dim": 96, "nheads": 4,
+        "dim_feedforward": 128, "num_queries": 8, "dataset": "mot",
+        "img_transform.max_size": 170, "img_transform.val_width": 128})
+    cfg["tpu"]["compute_dtype"] = "float32"
+    cfg["tpu"]["max_tracks"] = 8
+    with open(model_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    args = nested_namespace(cfg)
+    model, _, _, _ = build_model(args)
+    batch = FrameBatch.from_images(jnp.zeros((1, 64, 64, 3)),
+                                   jnp.array([[64, 64]]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    save_params_npz(params, model_dir / "checkpoint.npz")
+
+    out_dir = tmp_path / "out"
+    main([
+        "with", "dataset_name=MOT17-02-FRCNN",
+        f"data_root_dir={mot17_root}",
+        f"obj_detect_checkpoint_file={model_dir / 'checkpoint.npz'}",
+        f"output_dir={out_dir}",
+    ])
+    assert (out_dir / "MOT17-02-FRCNN.txt").exists()
