@@ -163,3 +163,56 @@ def test_steps_termination_2_keeps_track_alive_one_gap_frame():
     assert sorted(results.keys()) == [0]
     # frame 1: track kept alive (still reported with stale box)
     assert sorted(results[0].keys()) == [0, 1, 2]
+
+
+def test_public_detections_min_iou():
+    # only one public det, matching gt object 0 -> object 1 filtered out
+    gt = np.array([
+        [[0.3, 0.3, 0.1, 0.1], [0.7, 0.7, 0.1, 0.1]],
+    ], np.float32)
+    cfg = {
+        "detection_obj_score_thresh": 0.4, "track_obj_score_thresh": 0.4,
+        "detection_nms_thresh": 0.9, "track_nms_thresh": 0.9,
+        "public_detections": "min_iou_0_5", "inactive_patience": -1,
+        "reid_sim_threshold": 0.0, "reid_sim_only": False,
+        "reid_score_thresh": 0.4, "reid_greedy_matching": False,
+        "prev_frame_dist": 1, "steps_termination": 1, "max_tracks": S,
+    }
+    tracker = Tracker(params={}, apply_fn=make_fake_apply(gt),
+                      postprocess=postprocess_softmax, tracker_cfg=cfg,
+                      hidden_dim=HID, num_object_queries=Q)
+    img = jnp.full((1, 8, 8, 3), 0.0)
+    batch = FrameBatch.from_images(img)
+    # public det box in absolute xyxy on the 100x100 frame, over object 0
+    dets = np.array([[25.0, 25.0, 35.0, 35.0]], np.float32)
+    tracker.step({"batch": batch, "orig_size": np.array([[100, 100]]),
+                  "dets": dets})
+    results = tracker.get_results()
+    assert len(results) == 1
+    b = list(results.values())[0][0]["bbox"]
+    np.testing.assert_allclose((b[0] + b[2]) / 2, 30, atol=1.5)
+
+
+def test_public_detections_center_distance():
+    gt = np.array([
+        [[0.3, 0.3, 0.1, 0.1], [0.7, 0.7, 0.1, 0.1]],
+    ], np.float32)
+    cfg = {
+        "detection_obj_score_thresh": 0.4, "track_obj_score_thresh": 0.4,
+        "detection_nms_thresh": 0.9, "track_nms_thresh": 0.9,
+        "public_detections": "center_distance", "inactive_patience": -1,
+        "reid_sim_threshold": 0.0, "reid_sim_only": False,
+        "reid_score_thresh": 0.4, "reid_greedy_matching": False,
+        "prev_frame_dist": 1, "steps_termination": 1, "max_tracks": S,
+    }
+    tracker = Tracker(params={}, apply_fn=make_fake_apply(gt),
+                      postprocess=postprocess_softmax, tracker_cfg=cfg,
+                      hidden_dim=HID, num_object_queries=Q)
+    batch = FrameBatch.from_images(jnp.full((1, 8, 8, 3), 0.0))
+    dets = np.array([[68.0, 68.0, 76.0, 76.0]], np.float32)  # near object 1
+    tracker.step({"batch": batch, "orig_size": np.array([[100, 100]]),
+                  "dets": dets})
+    results = tracker.get_results()
+    assert len(results) == 1
+    b = list(results.values())[0][0]["bbox"]
+    np.testing.assert_allclose((b[0] + b[2]) / 2, 70, atol=1.5)

@@ -86,9 +86,15 @@ def main(argv=None, obj_detector_model=None):
         args.dataset_name, root_dir=args.data_root_dir,
         img_transform=train_args.img_transform)
 
+    # distributed eval: sequences round-robin over processes
+    # (reference engine.py:289-303)
+    proc_i, proc_n = jax.process_index(), jax.process_count()
+
     time_total, num_frames = 0.0, 0
     mot_accums, seq_names = [], []
-    for seq in dataset:
+    for seq_idx, seq in enumerate(dataset):
+        if proc_n > 1 and seq_idx % proc_n != proc_i:
+            continue
         tracker.reset()
         n = len(seq)
         start = int(n * args.frame_range.start)

@@ -97,10 +97,9 @@ def evaluate(model, params, criterion_cfg, postprocessors, loader,
         print("TRACK SEQS (in-process tracking eval)")
         summary = track_cli.main(
             ["with",
-             f"dataset_name={args.val_split_track_dataset}"
-             if hasattr(args, "val_split_track_dataset") else
-             "dataset_name=MOT17-TRAIN-ALL",
+             f"dataset_name={getattr(args, 'val_track_dataset', 'MOT17-TRAIN-ALL')}",
              f"data_root_dir={getattr(args, 'data_root_dir', 'data')}",
+             "frame_range.start=0.5",
              "output_dir=null"],
             obj_detector_model=obj_detector_model)
         if summary and "OVERALL" in summary:
