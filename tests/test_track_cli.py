@@ -100,3 +100,43 @@ def test_live_tracker_writes_results(mot17_root, tmp_path):
         f"output_dir={out_dir}",
     ])
     assert (out_dir / "MOT17-02-FRCNN.txt").exists()
+
+
+def test_attention_maps_vanilla_detr(mot17_root, tmp_path):
+    """generate_attention_maps: vanilla DETR only; maps reach the results."""
+    import yaml
+    import jax
+    import jax.numpy as jnp
+
+    from trackformer_tpu.cli.track import main
+    from trackformer_tpu.models import build_model
+    from trackformer_tpu.structures import FrameBatch
+    from trackformer_tpu.utils.checkpoint import save_params_npz
+    from trackformer_tpu.utils.config import load_config, nested_namespace
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    cfg = load_config("train.yaml", ["tracking"], {
+        "enc_layers": 1, "dec_layers": 1, "hidden_dim": 64, "nheads": 4,
+        "dim_feedforward": 64, "num_queries": 6, "dataset": "mot",
+        "img_transform.max_size": 170, "img_transform.val_width": 128})
+    cfg["tpu"]["compute_dtype"] = "float32"
+    cfg["tpu"]["max_tracks"] = 6
+    with open(model_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    args = nested_namespace(cfg)
+    model, _, _, _ = build_model(args)
+    batch = FrameBatch.from_images(jnp.zeros((1, 64, 64, 3)),
+                                   jnp.array([[64, 64]]))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    save_params_npz(params, model_dir / "checkpoint.npz")
+
+    main([
+        "with", "dataset_name=MOT17-02-FRCNN",
+        f"data_root_dir={mot17_root}",
+        f"obj_detect_checkpoint_file={model_dir / 'checkpoint.npz'}",
+        "generate_attention_maps=true",
+        f"output_dir={tmp_path / 'out'}",
+        "frame_range.end=0.5",
+        "tracker_cfg.detection_obj_score_thresh=0.0",
+    ])

@@ -216,3 +216,45 @@ def test_public_detections_center_distance():
     assert len(results) == 1
     b = list(results.values())[0][0]["bbox"]
     np.testing.assert_allclose((b[0] + b[2]) / 2, 70, atol=1.5)
+
+
+def test_batched_tracker_matches_single():
+    from trackformer_tpu.tracking.batched import BatchedTracker
+
+    gt = np.array([
+        [[0.3, 0.3, 0.1, 0.1], [0.7, 0.7, 0.1, 0.1]],
+        [[0.32, 0.3, 0.1, 0.1], [0.7, 0.72, 0.1, 0.1]],
+        [[0.34, 0.3, 0.1, 0.1], [0.7, 0.74, 0.1, 0.1]],
+    ], np.float32)
+    single = run_sequence(gt)
+
+    class SeqView:
+        def __len__(self):
+            return len(gt)
+
+        def __getitem__(self, i):
+            return {"batch": FrameBatch.from_images(
+                        jnp.full((1, 8, 8, 3), float(i))),
+                    "orig_size": np.array([[100, 100]]),
+                    "dets": np.zeros((0, 4), np.float32)}
+
+    cfg = {
+        "detection_obj_score_thresh": 0.4, "track_obj_score_thresh": 0.4,
+        "detection_nms_thresh": 0.9, "track_nms_thresh": 0.9,
+        "public_detections": False, "inactive_patience": -1,
+        "reid_sim_threshold": 0.0, "reid_sim_only": False,
+        "reid_score_thresh": 0.4, "reid_greedy_matching": False,
+        "prev_frame_dist": 1, "steps_termination": 1, "max_tracks": S,
+    }
+    bt = BatchedTracker(params={}, apply_fn=make_fake_apply(gt),
+                        postprocess=postprocess_softmax, tracker_cfg=cfg,
+                        hidden_dim=HID, num_object_queries=Q)
+    batched_results = bt.run([SeqView(), SeqView()])
+    ref = single.get_results()
+    for res in batched_results:
+        assert sorted(res.keys()) == sorted(ref.keys())
+        for tid in ref:
+            assert sorted(res[tid].keys()) == sorted(ref[tid].keys())
+            for f in ref[tid]:
+                np.testing.assert_allclose(res[tid][f]["bbox"],
+                                           ref[tid][f]["bbox"], atol=1e-3)

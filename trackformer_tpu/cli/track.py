@@ -68,8 +68,26 @@ def main(argv=None, obj_detector_model=None):
     else:
         model, params, train_args, postprocessors = obj_detector_model
 
-    def apply_fn(p, b, t, pf):
-        return model.apply(p, b, t, pf, deterministic=True)
+    attn_hw = None
+    if args.generate_attention_maps:
+        assert not getattr(train_args, "deformable", False), \
+            "attention maps are only available for vanilla DETR " \
+            "(reference tracker.py:38)"
+
+        def apply_fn(p, b, t, pf):
+            (out, tgts, feats, memory, hs), inters = model.apply(
+                p, b, t, pf, deterministic=True,
+                mutable=["intermediates"])
+            last = f"decoder_layer_{train_args.dec_layers - 1}"
+            attn = inters["intermediates"]["transformer"][last][
+                "multihead_attn"]["attn_weights"][0]  # (B, Q, HW)
+            mh, mw = memory.shape[1:3]
+            out["attention_maps"] = attn.reshape(
+                attn.shape[0], attn.shape[1], mh, mw)
+            return out, tgts, feats, memory, hs
+    else:
+        def apply_fn(p, b, t, pf):
+            return model.apply(p, b, t, pf, deterministic=True)
 
     tracker_cfg = namespace_to_dict(args.tracker_cfg)
     tpu_cfg = namespace_to_dict(getattr(args, "tpu", None)) or {}
@@ -80,11 +98,49 @@ def main(argv=None, obj_detector_model=None):
         num_object_queries=train_args.num_queries,
         overflow_boxes=train_args.overflow_boxes,
         with_masks=train_args.masks,
+        attn_hw="auto" if args.generate_attention_maps else None,
         verbose=args.verbose)
 
     dataset = TrackDatasetFactory(
         args.dataset_name, root_dir=args.data_root_dir,
         img_transform=train_args.img_transform)
+
+    # batched multi-sequence throughput mode (tracking/batched.py)
+    batch_seqs = int(tpu_cfg.get("batch_sequences", 1) or 1)
+    if batch_seqs > 1 and args.load_results_dir is None:
+        from ..tracking.batched import BatchedTracker, group_by_shape
+        bt = BatchedTracker(params, apply_fn, postprocessors["bbox"],
+                            tracker_cfg,
+                            hidden_dim=train_args.hidden_dim,
+                            num_object_queries=train_args.num_queries,
+                            overflow_boxes=train_args.overflow_boxes)
+        mot_accums, seq_names = [], []
+        time_total, num_frames = 0.0, 0
+        for group in group_by_shape(list(dataset), batch_seqs):
+            t0 = time.time()
+            group_results = bt.run(
+                group, (args.frame_range.start, args.frame_range.end))
+            t = time.time() - t0
+            n = sum(len(s) for s in group)
+            time_total += t
+            num_frames += n
+            print(f"BATCHED GROUP x{len(group)}: {t:.2f} s "
+                  f"({n / max(t, 1e-9):.2f} Hz)")
+            for seq, results in zip(group, group_results):
+                if args.interpolate:
+                    results = track_utils.interpolate_tracks(results)
+                if args.output_dir is not None:
+                    seq.write_results(results, args.output_dir)
+                if not seq.no_gt:
+                    mot_accums.append(track_utils.get_mot_accum(results,
+                                                                seq))
+                    seq_names.append(str(seq))
+        print(f"RUNTIME ALL SEQS: {time_total:.2f} s for {num_frames} "
+              f"frames ({num_frames / max(time_total, 1e-9):.2f} Hz)")
+        if mot_accums:
+            print("EVAL:")
+            return track_utils.evaluate_mot_accums(mot_accums, seq_names)
+        return None
 
     # distributed eval: sequences round-robin over processes
     # (reference engine.py:289-303)

@@ -45,6 +45,10 @@ class MultiHeadAttention(nn.Module):
             neg = jnp.finfo(jnp.float32).min
             logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
         attn = nn.softmax(logits, axis=-1).astype(self.dtype)
+        # head-averaged weights for attention-map visualization (zero cost
+        # unless apply() requests mutable=['intermediates'])
+        self.sow("intermediates", "attn_weights",
+                 jnp.mean(attn.astype(jnp.float32), axis=1))
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)

@@ -75,10 +75,12 @@ class TrackerState:
     next_id: jnp.ndarray  # () int32
     num_reids: jnp.ndarray  # () int32
     masks: Optional[jnp.ndarray] = None  # (S, Hm, Wm) probs
+    attn_maps: Optional[jnp.ndarray] = None  # (S, Ha, Wa) attention maps
 
 
 def init_state(max_tracks: int, hidden_dim: int,
-               mask_hw: Optional[tuple] = None) -> TrackerState:
+               mask_hw: Optional[tuple] = None,
+               attn_hw: Optional[tuple] = None) -> TrackerState:
     s = max_tracks
     return TrackerState(
         boxes=jnp.zeros((s, 4), jnp.float32),
@@ -94,6 +96,8 @@ def init_state(max_tracks: int, hidden_dim: int,
         num_reids=jnp.int32(0),
         masks=None if mask_hw is None else jnp.zeros((s,) + tuple(mask_hw),
                                                      jnp.float32),
+        attn_maps=None if attn_hw is None else jnp.zeros(
+            (s,) + tuple(attn_hw), jnp.float32),
     )
 
 
@@ -113,7 +117,8 @@ def _prune_inactive(state: TrackerState, cfg: TrackerConfig) -> TrackerState:
 
 
 def _scatter_new_tracks(state: TrackerState, det_keep, det_boxes, det_scores,
-                        det_hs, det_masks, cfg: TrackerConfig):
+                        det_hs, det_masks, cfg: TrackerConfig,
+                        det_attn=None):
     """Occupy free slots with kept detections (reference add_tracks :93-122).
 
     Invalid writes are routed to a dummy extra slot then dropped.
@@ -145,13 +150,17 @@ def _scatter_new_tracks(state: TrackerState, det_keep, det_boxes, det_scores,
     masks = state.masks
     if masks is not None and det_masks is not None:
         masks = pad(masks).at[slot].set(det_masks)[:s]
+    attn_maps = state.attn_maps
+    if attn_maps is not None and det_attn is not None:
+        attn_maps = pad(attn_maps).at[slot].set(det_attn)[:s]
     n_new = jnp.sum(ok).astype(jnp.int32)
     new_track_mask = jnp.zeros((s,), bool)
     new_track_mask = pad(new_track_mask).at[slot].set(True)[:s]
     return state.replace(
         boxes=boxes, scores=scores, hs=hs, ids=ids, obj_ind=obj_ind,
         active=active, count_term=count_term, count_inactive=count_inactive,
-        next_id=state.next_id + n_new, masks=masks), new_track_mask
+        next_id=state.next_id + n_new, masks=masks,
+        attn_maps=attn_maps), new_track_mask
 
 
 def _public_detections_mask(cfg: TrackerConfig, det_boxes, det_keep,
@@ -281,6 +290,9 @@ def make_tracker_step(apply_fn: Callable, postprocess: Callable,
         masks_all = None
         if cfg.with_masks and postprocess_segm is not None:
             masks_all = jax.nn.sigmoid(out["pred_masks"][0])  # (S+Q, h4, w4)
+        attn_all = out.get("attention_maps")
+        if attn_all is not None:
+            attn_all = attn_all[0]  # (S+Q, Ha, Wa)
 
         # --- existing tracks (reference :329-392) ---
         t_scores, t_boxes = scores_all[:s], boxes_all[:s]
@@ -304,6 +316,9 @@ def make_tracker_step(apply_fn: Callable, postprocess: Callable,
             num_reids=state.num_reids + jnp.sum(rk).astype(jnp.int32),
             masks=(state.masks if masks_all is None else
                    jnp.where(upd[:, None, None], masks_all[:s], state.masks)),
+            attn_maps=(state.attn_maps if attn_all is None else
+                       jnp.where(upd[:, None, None], attn_all[:s],
+                                 state.attn_maps)),
         )
 
         # --- track NMS (reference :395-412): suppressed slots are freed ---
@@ -318,6 +333,7 @@ def make_tracker_step(apply_fn: Callable, postprocess: Callable,
         d_scores, d_boxes = scores_all[s:], boxes_all[s:]
         d_labels, d_hs = labels_all[s:], hs_all[s:]
         d_masks = None if masks_all is None else masks_all[s:]
+        d_attn = None if attn_all is None else attn_all[s:]
         d_keep = (d_scores > cfg.detection_obj_score_thresh) & (d_labels == 0)
 
         d_keep = _public_detections_mask(cfg, d_boxes, d_keep, public_boxes,
@@ -325,7 +341,7 @@ def make_tracker_step(apply_fn: Callable, postprocess: Callable,
         state, d_keep = _reid(state, d_boxes, d_scores, d_hs, d_masks,
                               d_keep, cfg)
         state, new_track_mask = _scatter_new_tracks(
-            state, d_keep, d_boxes, d_scores, d_hs, d_masks, cfg)
+            state, d_keep, d_boxes, d_scores, d_hs, d_masks, cfg, d_attn)
 
         # --- detection NMS: old tracks pinned with inf score (:485-503) ---
         if cfg.detection_nms_thresh:
@@ -357,6 +373,9 @@ def make_tracker_step(apply_fn: Callable, postprocess: Callable,
         }
         if out_masks is not None:
             frame_results["masks"] = out_masks
+        if state.attn_maps is not None:
+            frame_results["attention_maps"] = jnp.where(
+                state.active[:, None, None], state.attn_maps, 0.0)
 
         state = state.replace(
             count_inactive=state.count_inactive
@@ -377,7 +396,8 @@ class Tracker:
     def __init__(self, params, apply_fn, postprocess, tracker_cfg: dict,
                  hidden_dim: int, num_object_queries: int,
                  overflow_boxes: bool = False, with_masks: bool = False,
-                 mask_hw=None, logger=None, verbose: bool = False):
+                 mask_hw=None, attn_hw=None, logger=None,
+                 verbose: bool = False):
         self.cfg = TrackerConfig.from_dict(
             {**tracker_cfg,
              "num_object_queries": num_object_queries,
@@ -386,14 +406,18 @@ class Tracker:
         self.params = params
         self.hidden_dim = hidden_dim
         self.mask_hw = mask_hw
+        self.attn_hw = attn_hw
         self._step = make_tracker_step(apply_fn, postprocess, self.cfg)
+        self._apply_fn = apply_fn
         self._logger = logger or (lambda *a: None)
         self._verbose = verbose
         self.reset()
 
     def reset(self, hard: bool = True):
+        attn_hw = self.attn_hw if isinstance(self.attn_hw, tuple) else None
         self.state = init_state(self.cfg.max_tracks, self.hidden_dim,
-                                self.mask_hw if self.cfg.with_masks else None)
+                                self.mask_hw if self.cfg.with_masks else None,
+                                attn_hw)
         self._prev_features = deque([None], maxlen=self.cfg.prev_frame_dist)
         if hard:
             self.results: Dict[int, Dict[int, dict]] = {}
@@ -407,6 +431,14 @@ class Tracker:
     def step(self, blob: dict):
         """blob: {img (1,H,W,3) jnp, orig_size (1,2), dets list/array}."""
         batch = blob["batch"]
+        if self.attn_hw == "auto" and self.state.attn_maps is None:
+            # probe the attention-map resolution once, then re-init state
+            probe_out = self._apply_probe(batch)
+            hw = tuple(probe_out["attention_maps"].shape[-2:])
+            self.attn_hw = hw
+            self.state = self.state.replace(
+                attn_maps=jnp.zeros((self.cfg.max_tracks,) + hw,
+                                    jnp.float32))
         orig_size = jnp.asarray(blob["orig_size"])
         p_max = 128
         dets = np.asarray(blob.get("dets", np.zeros((0, 4), np.float32)),
@@ -429,6 +461,8 @@ class Tracker:
         obj_ind = np.asarray(frame_results["obj_ind"])
         masks = (np.asarray(frame_results["masks"])
                  if "masks" in frame_results else None)
+        attn = (np.asarray(frame_results["attention_maps"])
+                if "attention_maps" in frame_results else None)
         for slot in np.nonzero(ids >= 0)[0]:
             tid = int(ids[slot])
             self.results.setdefault(tid, {})
@@ -436,9 +470,15 @@ class Tracker:
                      "obj_ind": int(obj_ind[slot])}
             if masks is not None:
                 entry["mask"] = masks[slot]
+            if attn is not None:
+                entry["attention_map"] = attn[slot]
             self.results[tid][self.frame_index] = entry
         self.frame_index += 1
         self.num_reids = int(self.state.num_reids)
+
+    def _apply_probe(self, batch):
+        out, _, _, _, _ = self._apply_fn(self.params, batch, None, None)
+        return out
 
     def get_results(self):
         return self.results
