@@ -24,8 +24,8 @@ def make_fake_apply(gt_sequence):
     """
     gt = jnp.asarray(gt_sequence)
 
-    def apply_fn(params, batch, targets, prev_features):
-        frame = batch.images[0, 0, 0, 0].astype(jnp.int32)
+    def _one(frame_f, tq, tq_valid):
+        frame = frame_f.astype(jnp.int32)
         boxes_f = gt[frame]  # (N, 4)
         present = ~jnp.isnan(boxes_f[:, 0])
         boxes_f = jnp.nan_to_num(boxes_f)
@@ -43,13 +43,12 @@ def make_fake_apply(gt_sequence):
             [jax.nn.one_hot(jnp.arange(n), HID),
              jnp.zeros((Q - n, HID))], 0)
 
-        if targets is not None and targets.tq_boxes is not None:
-            k = targets.tq_boxes.shape[1]
-            tq = targets.tq_boxes[0]  # (K, 4) cxcywh
+        if tq is not None:
+            k = tq.shape[0]
             d = jnp.linalg.norm(tq[:, None, :2] - boxes_f[None, :, :2],
                                 axis=-1)
             near = (d < 0.05) & present[None, :]
-            hit = jnp.any(near, axis=1) & targets.tq_valid[0]
+            hit = jnp.any(near, axis=1) & tq_valid
             gt_idx = jnp.argmax(near, axis=1)
             tq_boxes_out = jnp.where(hit[:, None], boxes_f[gt_idx], tq)
             tq_logits = jnp.stack(
@@ -63,9 +62,19 @@ def make_fake_apply(gt_sequence):
         else:
             logits, boxes, hs = obj_logits, obj_boxes, obj_hs
 
-        out = {"pred_logits": logits[None], "pred_boxes": boxes[None],
-               "hs_embed": hs[None],
-               "query_valid": jnp.ones((1, logits.shape[0]), bool)}
+        return logits, boxes, hs
+
+    def apply_fn(params, batch, targets, prev_features):
+        frames = batch.images[:, 0, 0, 0]
+        if targets is not None and targets.tq_boxes is not None:
+            logits, boxes, hs = jax.vmap(_one)(
+                frames, targets.tq_boxes, targets.tq_valid)
+        else:
+            logits, boxes, hs = jax.vmap(
+                lambda f: _one(f, None, None))(frames)
+        out = {"pred_logits": logits, "pred_boxes": boxes,
+               "hs_embed": hs,
+               "query_valid": jnp.ones(logits.shape[:2], bool)}
         return out, targets, None, None, None
 
     return apply_fn

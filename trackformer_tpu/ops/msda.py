@@ -99,19 +99,29 @@ def ms_deform_attn(value: jnp.ndarray,
     assert l == len(spatial_shapes), (l, spatial_shapes)
     assert s == sum(h * w for h, w in spatial_shapes)
 
-    flat_value = value.transpose(0, 2, 1, 3).reshape(n * m * s, d)
     idx, weights = _corner_indices_weights(
         spatial_shapes, sampling_locations, attention_weights)
     k = l * p * 4
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
-    gathered = jax.lax.gather(
-        flat_value, idx.reshape(-1, 1), dn, slice_sizes=(1, d),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    gathered = gathered.reshape(n, lq, m, k, d)
-    out = jnp.einsum("nqmk,nqmkd->nqmd",
-                     weights.reshape(n, lq, m, k).astype(value.dtype),
-                     gathered, preferred_element_type=jnp.float32)
+    value_nm = value.transpose(0, 2, 1, 3)  # (N, M, S, D)
+
+    # Gather per batch item: gather throughput degrades sharply with table
+    # size (HBM locality), so keep each table at (M*S, D) instead of one
+    # (N*M*S, D) mega-table. N is small and static.
+    outs = []
+    per_item = m * s
+    for i in range(n):
+        table = value_nm[i].reshape(per_item, d)
+        idx_i = idx[i].reshape(-1, 1) - i * per_item
+        g = jax.lax.gather(
+            table, idx_i, dn, slice_sizes=(1, d),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        g = g.reshape(lq, m, k, d)
+        outs.append(jnp.einsum(
+            "qmk,qmkd->qmd", weights[i].reshape(lq, m, k).astype(value.dtype),
+            g, preferred_element_type=jnp.float32))
+    out = jnp.stack(outs)
     return out.astype(value.dtype).reshape(n, lq, m * d)
 
 

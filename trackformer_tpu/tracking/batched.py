@@ -29,11 +29,10 @@ class BatchedTracker:
              "overflow_boxes": overflow_boxes})
         self.params = params
         self.hidden_dim = hidden_dim
-        step = make_tracker_step(apply_fn, postprocess, self.cfg)
-        self._step = jax.jit(jax.vmap(step, in_axes=(None, 0, 0, 0, 0, 0,
-                                                     0)))
-        self._step_first = jax.jit(jax.vmap(
-            step, in_axes=(None, 0, 0, 0, 0, 0, None)))
+        # natively-batched model call + vmapped per-sequence logic
+        # (vmapping the WHOLE step de-optimizes the fused MSDA gather)
+        self._step = make_tracker_step(apply_fn, postprocess, self.cfg,
+                                       batched=True)
 
     def run(self, sequences: List, frame_range=(0.0, 1.0),
             logger: Optional[Callable] = None) -> List[Dict]:
@@ -73,11 +72,12 @@ class BatchedTracker:
                 pubs.append(pb)
                 pubv.append(pv)
             from ..structures import FrameBatch
-            batch = FrameBatch(images=jnp.asarray(np.stack(imgs)),
-                               mask=jnp.asarray(np.stack(masks)))
-            step = self._step_first if prev_feats is None else self._step
-            states, frame_results, prev_feats = step(
-                self.params, states, batch, jnp.asarray(np.stack(sizes)),
+            batch = FrameBatch(
+                images=jnp.asarray(np.concatenate(imgs, axis=0)),
+                mask=jnp.asarray(np.concatenate(masks, axis=0)))
+            states, frame_results, prev_feats = self._step(
+                self.params, states, batch,
+                jnp.asarray(np.concatenate(sizes, axis=0)),
                 jnp.asarray(np.stack(pubs)), jnp.asarray(np.stack(pubv)),
                 prev_feats)
 

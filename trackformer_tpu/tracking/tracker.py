@@ -252,138 +252,192 @@ def _reid(state: TrackerState, det_boxes, det_scores, det_hs, det_masks,
     return state, det_keep & ~consumed
 
 
+def _prepare_track_queries(state: TrackerState, orig_size: jnp.ndarray,
+                           cfg: TrackerConfig):
+    """Prune + build track-query inputs for ONE sequence
+    (reference :270-304). orig_size: (2,)."""
+    state = _prune_inactive(state, cfg)
+    live = state.active | state.inactive
+    h = orig_size[0].astype(jnp.float32)
+    w = orig_size[1].astype(jnp.float32)
+    scale = jnp.stack([w, h, w, h])
+    tq_boxes = box_ops.box_xyxy_to_cxcywh(state.boxes / scale)
+    return state, state.hs, tq_boxes, live
+
+
+def _track_logic(state: TrackerState, boxes_all, scores_all, labels_all,
+                 hs_all, masks_all, attn_all, public_boxes, public_valid,
+                 hw, cfg: TrackerConfig):
+    """All post-model track logic for ONE sequence (reference :329-541)."""
+    s = cfg.max_tracks
+    h, w = hw[0], hw[1]
+    if not cfg.overflow_boxes:
+        boxes_all = box_ops.clip_boxes_to_image(boxes_all, (h, w))
+
+    # --- existing tracks (reference :329-392) ---
+    t_scores, t_boxes = scores_all[:s], boxes_all[:s]
+    t_labels, t_hs = labels_all[:s], hs_all[:s]
+    keep = (t_scores > cfg.track_obj_score_thresh) & (t_labels == 0) \
+        & state.active
+    ct = jnp.where(keep, 0,
+                   state.count_term + (state.active & ~keep))
+    to_inactive = state.active & ~keep & (ct >= cfg.steps_termination)
+
+    rk = (t_scores > cfg.reid_score_thresh) & (t_labels == 0) \
+        & state.inactive
+    upd = keep | rk
+    state = state.replace(
+        boxes=jnp.where(upd[:, None], t_boxes, state.boxes),
+        scores=jnp.where(upd, t_scores, state.scores),
+        hs=jnp.where(upd[:, None], t_hs, state.hs),
+        count_term=ct,
+        active=(state.active & ~to_inactive) | rk,
+        inactive=(state.inactive | to_inactive) & ~rk,
+        num_reids=state.num_reids + jnp.sum(rk).astype(jnp.int32),
+        masks=(state.masks if masks_all is None else
+               jnp.where(upd[:, None, None], masks_all[:s], state.masks)),
+        attn_maps=(state.attn_maps if attn_all is None else
+                   jnp.where(upd[:, None, None], attn_all[:s],
+                             state.attn_maps)),
+    )
+
+    # --- track NMS (reference :395-412): suppressed slots are freed ---
+    if cfg.track_nms_thresh:
+        keep_nms = nms_mask(state.boxes, state.scores, state.active,
+                            cfg.track_nms_thresh)
+        removed = state.active & ~keep_nms
+        state = state.replace(active=state.active & keep_nms,
+                              ids=jnp.where(removed, -1, state.ids))
+
+    # --- new detections (reference :414-436) ---
+    d_scores, d_boxes = scores_all[s:], boxes_all[s:]
+    d_labels, d_hs = labels_all[s:], hs_all[s:]
+    d_masks = None if masks_all is None else masks_all[s:]
+    d_attn = None if attn_all is None else attn_all[s:]
+    d_keep = (d_scores > cfg.detection_obj_score_thresh) & (d_labels == 0)
+
+    d_keep = _public_detections_mask(cfg, d_boxes, d_keep, public_boxes,
+                                     public_valid)
+    state, d_keep = _reid(state, d_boxes, d_scores, d_hs, d_masks,
+                          d_keep, cfg)
+    state, new_track_mask = _scatter_new_tracks(
+        state, d_keep, d_boxes, d_scores, d_hs, d_masks, cfg, d_attn)
+
+    # --- detection NMS: old tracks pinned with inf score (:485-503) ---
+    if cfg.detection_nms_thresh:
+        nms_scores = jnp.where(new_track_mask, state.scores, jnp.inf)
+        keep_nms = nms_mask(state.boxes, nms_scores, state.active,
+                            cfg.detection_nms_thresh)
+        removed = state.active & ~keep_nms
+        state = state.replace(active=state.active & keep_nms,
+                              ids=jnp.where(removed, -1, state.ids))
+
+    # --- mask overlap resolution at head resolution (:509-521) ---
+    out_masks = None
+    if state.masks is not None:
+        probs = jnp.where(state.active[:, None, None], state.masks,
+                          -jnp.inf)
+        winner = jnp.argmax(probs, axis=0)  # (Hm, Wm)
+        slot_ids = jnp.arange(s)[:, None, None]
+        out_masks = (state.masks > 0.5) & (winner[None] == slot_ids) \
+            & state.active[:, None, None]
+
+    # --- per-frame results (:523-541) ---
+    res_boxes = state.boxes if cfg.overflow_boxes else \
+        box_ops.clip_boxes_to_image(state.boxes, (h, w))
+    frame_results = {
+        "ids": jnp.where(state.active, state.ids, -1),
+        "boxes": res_boxes,
+        "scores": state.scores,
+        "obj_ind": state.obj_ind,
+    }
+    if out_masks is not None:
+        frame_results["masks"] = out_masks
+    if state.attn_maps is not None:
+        frame_results["attention_maps"] = jnp.where(
+            state.active[:, None, None], state.attn_maps, 0.0)
+
+    state = state.replace(
+        count_inactive=state.count_inactive
+        + state.inactive.astype(jnp.int32))
+    if cfg.reid_sim_only:
+        state = state.replace(inactive=state.inactive | state.active,
+                              active=jnp.zeros_like(state.active))
+    return state, frame_results
+
+
 def make_tracker_step(apply_fn: Callable, postprocess: Callable,
                       cfg: TrackerConfig,
-                      postprocess_segm: Optional[Callable] = None):
+                      postprocess_segm: Optional[Callable] = None,
+                      batched: bool = False):
     """Build the jitted per-frame step.
 
     apply_fn(params, batch, targets|None, prev_features) -> model 5-tuple.
-    Returns step(params, state, batch, orig_size, public_boxes,
-    public_valid, prev_features) -> (state, frame_results dict).
+
+    Unbatched (default): step(params, state, batch(1,H,W,3), orig_size(1,2),
+    public_boxes(P,4), public_valid(P,), prev) -> (state, results, features).
+
+    Batched: leading B on state leaves / images / orig_sizes / publics; the
+    MODEL runs natively at batch B (keeping the fused MSDA gather fast —
+    vmapping the whole step would de-optimize it into per-lane gathers)
+    while the per-sequence track logic is vmapped.
     """
 
-    def step(params, state: TrackerState, batch: FrameBatch,
-             orig_size: jnp.ndarray, public_boxes, public_valid,
-             prev_features):
+    def core(params, states, batch: FrameBatch, orig_sizes, public_boxes,
+             public_valid, prev_features):
         s = cfg.max_tracks
-        state = _prune_inactive(state, cfg)
-        live = state.active | state.inactive
-
-        # --- track queries from live slots (reference :287-304) ---
-        h = orig_size[0, 0].astype(jnp.float32)
-        w = orig_size[0, 1].astype(jnp.float32)
-        scale = jnp.stack([w, h, w, h])
-        tq_boxes = box_ops.box_xyxy_to_cxcywh(state.boxes / scale)[None]
-        targets = empty_targets(1, 1).with_track_queries(
-            state.hs[None], tq_boxes, live[None])
+        states, tq_hs, tq_boxes, tq_valid = jax.vmap(
+            lambda st, osz: _prepare_track_queries(st, osz, cfg))(
+                states, orig_sizes)
+        b = tq_hs.shape[0]
+        targets = empty_targets(b, 1).with_track_queries(
+            tq_hs, tq_boxes, tq_valid)
 
         out, _, features, _, _ = apply_fn(params, batch, targets,
                                           prev_features)
-        res = postprocess(out, orig_size)
-        boxes_all = res["boxes"][0]  # (S+Q, 4) absolute xyxy
-        if not cfg.overflow_boxes:
-            boxes_all = box_ops.clip_boxes_to_image(boxes_all, (h, w))
-        scores_all = res["scores"][0]
-        labels_all = res["labels"][0]
-        hs_all = out["hs_embed"][0]
+        res = postprocess(out, orig_sizes)
+        boxes_all = res["boxes"]  # (B, S+Q, 4) absolute xyxy
+        scores_all = res["scores"]
+        labels_all = res["labels"]
+        hs_all = out["hs_embed"]
 
         masks_all = None
         if cfg.with_masks and postprocess_segm is not None:
-            masks_all = jax.nn.sigmoid(out["pred_masks"][0])  # (S+Q, h4, w4)
+            masks_all = jax.nn.sigmoid(out["pred_masks"])  # (B, S+Q, h, w)
         attn_all = out.get("attention_maps")
-        if attn_all is not None:
-            attn_all = attn_all[0]  # (S+Q, Ha, Wa)
+        hw = orig_sizes.astype(jnp.float32)
 
-        # --- existing tracks (reference :329-392) ---
-        t_scores, t_boxes = scores_all[:s], boxes_all[:s]
-        t_labels, t_hs = labels_all[:s], hs_all[:s]
-        keep = (t_scores > cfg.track_obj_score_thresh) & (t_labels == 0) \
-            & state.active
-        ct = jnp.where(keep, 0,
-                       state.count_term + (state.active & ~keep))
-        to_inactive = state.active & ~keep & (ct >= cfg.steps_termination)
+        has_masks = masks_all is not None
+        has_attn = attn_all is not None
 
-        rk = (t_scores > cfg.reid_score_thresh) & (t_labels == 0) \
-            & state.inactive
-        upd = keep | rk
-        state = state.replace(
-            boxes=jnp.where(upd[:, None], t_boxes, state.boxes),
-            scores=jnp.where(upd, t_scores, state.scores),
-            hs=jnp.where(upd[:, None], t_hs, state.hs),
-            count_term=ct,
-            active=(state.active & ~to_inactive) | rk,
-            inactive=(state.inactive | to_inactive) & ~rk,
-            num_reids=state.num_reids + jnp.sum(rk).astype(jnp.int32),
-            masks=(state.masks if masks_all is None else
-                   jnp.where(upd[:, None, None], masks_all[:s], state.masks)),
-            attn_maps=(state.attn_maps if attn_all is None else
-                       jnp.where(upd[:, None, None], attn_all[:s],
-                                 state.attn_maps)),
-        )
+        def logic(st, ba, sa, la, ha, ma, aa, pb, pv, hw_row):
+            return _track_logic(st, ba, sa, la, ha,
+                                ma if has_masks else None,
+                                aa if has_attn else None,
+                                pb, pv, hw_row, cfg)
 
-        # --- track NMS (reference :395-412): suppressed slots are freed ---
-        if cfg.track_nms_thresh:
-            keep_nms = nms_mask(state.boxes, state.scores, state.active,
-                                cfg.track_nms_thresh)
-            removed = state.active & ~keep_nms
-            state = state.replace(active=state.active & keep_nms,
-                                  ids=jnp.where(removed, -1, state.ids))
+        states, frame_results = jax.vmap(logic)(
+            states, boxes_all, scores_all, labels_all, hs_all,
+            masks_all if has_masks else jnp.zeros((b, 1, 1, 1)),
+            attn_all if has_attn else jnp.zeros((b, 1, 1, 1)),
+            public_boxes, public_valid, hw)
+        return states, frame_results, features
 
-        # --- new detections (reference :414-436) ---
-        d_scores, d_boxes = scores_all[s:], boxes_all[s:]
-        d_labels, d_hs = labels_all[s:], hs_all[s:]
-        d_masks = None if masks_all is None else masks_all[s:]
-        d_attn = None if attn_all is None else attn_all[s:]
-        d_keep = (d_scores > cfg.detection_obj_score_thresh) & (d_labels == 0)
+    if batched:
+        return jax.jit(core)
 
-        d_keep = _public_detections_mask(cfg, d_boxes, d_keep, public_boxes,
-                                         public_valid)
-        state, d_keep = _reid(state, d_boxes, d_scores, d_hs, d_masks,
-                              d_keep, cfg)
-        state, new_track_mask = _scatter_new_tracks(
-            state, d_keep, d_boxes, d_scores, d_hs, d_masks, cfg, d_attn)
-
-        # --- detection NMS: old tracks pinned with inf score (:485-503) ---
-        if cfg.detection_nms_thresh:
-            nms_scores = jnp.where(new_track_mask, state.scores, jnp.inf)
-            keep_nms = nms_mask(state.boxes, nms_scores, state.active,
-                                cfg.detection_nms_thresh)
-            removed = state.active & ~keep_nms
-            state = state.replace(active=state.active & keep_nms,
-                                  ids=jnp.where(removed, -1, state.ids))
-
-        # --- mask overlap resolution at head resolution (:509-521) ---
-        out_masks = None
-        if state.masks is not None:
-            probs = jnp.where(state.active[:, None, None], state.masks,
-                              -jnp.inf)
-            winner = jnp.argmax(probs, axis=0)  # (Hm, Wm)
-            slot_ids = jnp.arange(s)[:, None, None]
-            out_masks = (state.masks > 0.5) & (winner[None] == slot_ids) \
-                & state.active[:, None, None]
-
-        # --- per-frame results (:523-541) ---
-        res_boxes = state.boxes if cfg.overflow_boxes else \
-            box_ops.clip_boxes_to_image(state.boxes, (h, w))
-        frame_results = {
-            "ids": jnp.where(state.active, state.ids, -1),
-            "boxes": res_boxes,
-            "scores": state.scores,
-            "obj_ind": state.obj_ind,
-        }
-        if out_masks is not None:
-            frame_results["masks"] = out_masks
-        if state.attn_maps is not None:
-            frame_results["attention_maps"] = jnp.where(
-                state.active[:, None, None], state.attn_maps, 0.0)
-
-        state = state.replace(
-            count_inactive=state.count_inactive
-            + state.inactive.astype(jnp.int32))
-        if cfg.reid_sim_only:
-            state = state.replace(inactive=state.inactive | state.active,
-                                  active=jnp.zeros_like(state.active))
+    def step(params, state, batch, orig_size, public_boxes, public_valid,
+             prev_features):
+        states = jax.tree.map(lambda x: x[None], state)
+        new_states, frame_results, features = core(
+            params, states, batch, orig_size, public_boxes[None],
+            public_valid[None], prev_features)
+        state = jax.tree.map(lambda x: x[0], new_states)
+        frame_results = jax.tree.map(lambda x: x[0], frame_results)
         return state, frame_results, features
+
+    return jax.jit(step)
+
 
     return jax.jit(step)
 
