@@ -192,7 +192,25 @@ def _public_detections_mask(cfg: TrackerConfig, det_boxes, det_keep,
 def _reid(state: TrackerState, det_boxes, det_scores, det_hs, det_masks,
           det_keep, cfg: TrackerConfig):
     """Revive inactive tracks from remaining detections
-    (reference tracker.py:167-264). Returns (state, det_keep)."""
+    (reference tracker.py:167-264). Returns (state, det_keep).
+
+    Skipped entirely (lax.cond) when no slot is inactive or no detection
+    remains — the assignment solver's while_loops are the only sequential
+    cost in the step."""
+    def no_op(args):
+        st, _, _, _, _, dk = args
+        return st, dk
+
+    def run(args):
+        return _reid_impl(*args, cfg=cfg)
+
+    return jax.lax.cond(
+        jnp.any(state.inactive) & jnp.any(det_keep), run, no_op,
+        (state, det_boxes, det_scores, det_hs, det_masks, det_keep))
+
+
+def _reid_impl(state: TrackerState, det_boxes, det_scores, det_hs,
+               det_masks, det_keep, cfg: TrackerConfig = None):
     s = cfg.max_tracks
     inact = state.inactive
 
