@@ -53,3 +53,33 @@ def test_eval_only_coco_map(synth_root, tmp_path):
     ])
     assert "coco_eval_bbox" in stats
     assert len(stats["coco_eval_bbox"]) == 12
+
+
+def test_tracking_eval_during_training(synth_root, tmp_path):
+    """eval_only + tracking_eval: the in-process track CLI runs with the
+    live model and MOTA/IDF1 land in the stats (engine.py:283-337 parity)."""
+    import shutil
+    import configparser
+
+    # mirror the synthetic data under a MOT17-registry-valid name
+    mot_root = tmp_path / "data" / "MOT17"
+    (mot_root / "train").mkdir(parents=True)
+    src = synth_root / "train" / "SYN-01"
+    dst = mot_root / "train" / "MOT17-02-FRCNN"
+    shutil.copytree(src, dst)
+    ini = configparser.ConfigParser()
+    ini.read(dst / "seqinfo.ini")
+    ini["Sequence"]["name"] = "MOT17-02-FRCNN"
+    with open(dst / "seqinfo.ini", "w") as f:
+        ini.write(f)
+
+    from trackformer_tpu.cli.train import main
+    stats = main([
+        "with", *TINY,
+        "dataset=mot", "eval_only=true", "tracking_eval=true",
+        f"mot_path_train={synth_root}", f"mot_path_val={synth_root}",
+        "train_split=synth_train", "val_split=synth_train",
+        "val_track_dataset=MOT17-02-FRCNN",
+        f"data_root_dir={tmp_path / 'data'}",
+    ])
+    assert "MOTA" in stats and "IDF1" in stats
