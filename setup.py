@@ -3,7 +3,6 @@
     python setup.py build_native
 """
 import subprocess
-import sys
 from pathlib import Path
 
 from setuptools import Command, find_packages, setup

@@ -3,7 +3,6 @@ over the synthetic MOT dataset (SURVEY.md §4 implication (d))."""
 import sys
 from pathlib import Path
 
-import numpy as np
 import pytest
 
 sys.path.insert(0, str(Path(__file__).parent))

@@ -2,7 +2,6 @@
 encoder modes), tiny configs on CPU."""
 import jax
 import jax.numpy as jnp
-import pytest
 
 from trackformer_tpu.models import build_model
 from trackformer_tpu.structures import FrameBatch, empty_targets

@@ -11,7 +11,6 @@ handling, 101-point interpolated PR curves, area-range and max-det variants.
 """
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -7,7 +7,6 @@ segment matching by IoU > 0.5 within the same category, PQ = SQ * RQ.
 from __future__ import annotations
 
 import json
-import os
 from collections import defaultdict
 from pathlib import Path
 from typing import Dict, List

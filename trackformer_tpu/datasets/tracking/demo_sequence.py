@@ -17,7 +17,6 @@ from PIL import Image
 
 from ...structures import FrameBatch
 from .. import transforms as T
-from .mot17_sequence import round_up
 
 IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp"}
 VID_EXTS = {".mp4", ".avi", ".mov", ".mkv"}

@@ -7,7 +7,6 @@ MOTS result txt lines `frame id class_id h w rle` with 2000+id numbering
 """
 from __future__ import annotations
 
-import csv
 import os
 import os.path as osp
 from typing import Dict

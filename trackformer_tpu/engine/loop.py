@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

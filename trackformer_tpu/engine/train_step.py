@@ -25,7 +25,6 @@ from flax import struct
 
 from ..models.criterion import CriterionConfig, compute_losses
 from ..models.tracking import TrackingConfig, tracking_train_forward
-from ..structures import FrameBatch, Targets
 
 
 @struct.dataclass

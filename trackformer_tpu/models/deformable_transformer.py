@@ -16,7 +16,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,6 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.msda import ms_deform_attn
-from ..ops.losses import inverse_sigmoid
 from .attention import MultiHeadAttention
 
 

@@ -8,7 +8,7 @@ all intermediate layer outputs (normed and raw) for aux losses and hs_embed.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -10,7 +10,6 @@ shorter sequences keep stepping on their last frame with results discarded.
 """
 from __future__ import annotations
 
-from collections import deque
 from typing import Callable, Dict, List, Optional
 
 import jax

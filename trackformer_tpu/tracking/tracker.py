@@ -33,7 +33,7 @@ from flax import struct
 from ..ops import box_ops
 from ..ops.assignment import BIG, hungarian_rect
 from ..ops.nms import greedy_assign_by_column, nms_mask
-from ..structures import FrameBatch, Targets, empty_targets
+from ..structures import FrameBatch, empty_targets
 
 
 @struct.dataclass
