@@ -98,8 +98,12 @@ def test_live_tracker_writes_results(mot17_root, tmp_path):
         f"data_root_dir={mot17_root}",
         f"obj_detect_checkpoint_file={model_dir / 'checkpoint.npz'}",
         f"output_dir={out_dir}",
+        "write_images=pretty",
+        "interpolate=true",
     ])
     assert (out_dir / "MOT17-02-FRCNN.txt").exists()
+    # frame rendering ran (plot_sequence)
+    assert (out_dir / "MOT17-02-FRCNN").is_dir()
 
 
 def test_attention_maps_vanilla_detr(mot17_root, tmp_path):
