@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..ops import box_ops
-from ..ops.losses import sigmoid_binary_cross_entropy
+from ..ops.losses import dice_loss, sigmoid_binary_cross_entropy, \
+    sigmoid_focal_loss
 from ..structures import Targets
 from .matcher import MatcherConfig, match
 
@@ -148,15 +149,39 @@ def loss_boxes(outputs, targets: Targets, match_q, num_boxes,
             "loss_giou": jnp.sum(giou_loss) / num_boxes}
 
 
+def loss_masks(outputs, targets: Targets, match_q, num_boxes,
+               cfg: CriterionConfig):
+    """Mask focal + dice on matched query slots (reference detr.py:330-358).
+    Predicted masks are upsampled to the target mask resolution."""
+    pred = outputs["pred_masks"]  # (B, Q, h, w)
+    b = pred.shape[0]
+    src = jnp.take_along_axis(pred, match_q[:, :, None, None], axis=1)
+    tgt = targets.masks.astype(jnp.float32)  # (B, T, Hm, Wm)
+    src = jax.image.resize(src, (b, src.shape[1]) + tuple(tgt.shape[-2:]),
+                           method="bilinear")
+    valid = targets.valid
+    n, t = valid.shape
+    src_f = src.reshape(n * t, -1)
+    tgt_f = tgt.reshape(n * t, -1)
+    v = valid.reshape(n * t)
+    focal = sigmoid_focal_loss(
+        jnp.where(v[:, None], src_f, 0.0)[None],
+        jnp.where(v[:, None], tgt_f, 0.0)[None],
+        num_boxes, alpha=0.25, gamma=2.0)
+    dice = dice_loss(src_f, tgt_f, num_boxes, valid=v)
+    return {"loss_mask": focal, "loss_dice": dice}
+
+
 LOSS_MAP = {
     "boxes": loss_boxes,
     "cardinality": loss_cardinality,
+    "masks": loss_masks,
 }
 
 
 def compute_losses(outputs: Dict, targets: Targets, cfg: CriterionConfig,
-                   num_boxes: Optional[jnp.ndarray] = None,
-                   mask_loss_fn=None) -> Dict[str, jnp.ndarray]:
+                   num_boxes: Optional[jnp.ndarray] = None
+                   ) -> Dict[str, jnp.ndarray]:
     """Full criterion: match + losses for final, aux, and enc outputs.
 
     `num_boxes` should be the cross-device-normalized target count
@@ -176,9 +201,10 @@ def compute_losses(outputs: Dict, targets: Targets, cfg: CriterionConfig,
                 if not log:
                     ld.pop("class_error", None)
             elif name == "masks":
-                if not with_masks or mask_loss_fn is None:
+                # aux/enc outputs carry no masks (reference detr.py:414-416)
+                if not with_masks or "pred_masks" not in outs:
                     continue
-                ld = mask_loss_fn(outs, tgts, match_q, num_boxes)
+                ld = loss_masks(outs, tgts, match_q, num_boxes, cfg)
             else:
                 ld = LOSS_MAP[name](outs, tgts, match_q, num_boxes, cfg)
             d.update({k + prefix: v for k, v in ld.items()})

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.losses import dice_loss, sigmoid_focal_loss
 from ..structures import FrameBatch, Targets
 from .backbone import downsample_mask
 from .deformable_detr import DeformableDETR
@@ -144,33 +143,6 @@ class DeformableDETRSegm(DeformableDETR, _SegmMixin):
             batch, targets, prev_features, deterministic)
         out = self._segm_forward(out, features, memory, hs, batch)
         return out, targets, features, memory, hs
-
-
-def make_mask_loss_fn(target_mask_hw):
-    """Focal+dice mask losses on matched query slots
-    (reference detr.py:330-358)."""
-
-    def loss_masks(outputs, targets: Targets, match_q, num_boxes):
-        pred = outputs["pred_masks"]  # (B, Q, h, w)
-        b, q, h, w = pred.shape
-        src = jnp.take_along_axis(
-            pred, match_q[:, :, None, None], axis=1)  # (B, T, h, w)
-        tgt = targets.masks.astype(jnp.float32)  # (B, T, Hm, Wm)
-        src = jax.image.resize(
-            src, (b, src.shape[1]) + tuple(tgt.shape[-2:]), method="bilinear")
-        valid = targets.valid
-        n, t = valid.shape
-        src_f = src.reshape(n * t, -1)
-        tgt_f = tgt.reshape(n * t, -1)
-        v = valid.reshape(n * t)
-        focal = sigmoid_focal_loss(
-            jnp.where(v[:, None], src_f, 0.0)[None],
-            jnp.where(v[:, None], tgt_f, 0.0)[None],
-            num_boxes, alpha=0.25, gamma=2.0)
-        dice = dice_loss(src_f, tgt_f, num_boxes, valid=v)
-        return {"loss_mask": focal, "loss_dice": dice}
-
-    return loss_masks
 
 
 def postprocess_segm(results, outputs, target_hw, threshold=0.5,
