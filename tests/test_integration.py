@@ -82,3 +82,19 @@ def test_tracking_eval_during_training(synth_root, tmp_path):
         f"data_root_dir={tmp_path / 'data'}",
     ])
     assert "MOTA" in stats and "IDF1" in stats
+
+
+def test_checkpoint_resume_optimizer(synth_root, tmp_path):
+    """Train 1 epoch, then resume with optimizer state (orbax round trip)."""
+    from trackformer_tpu.cli.train import main
+    out = tmp_path / "out"
+    common = [
+        "with", *TINY, "dataset=mot",
+        f"mot_path_train={synth_root}", f"mot_path_val={synth_root}",
+        "train_split=synth_train", "val_split=synth_train",
+        "tracking_eval=false", f"output_dir={out}",
+    ]
+    state1 = main(common)
+    steps1 = int(state1.step)
+    state2 = main(common + ["resume_optim=true", "epochs=2"])
+    assert int(state2.step) > steps1

@@ -110,6 +110,7 @@ class CheckpointManager:
             import shutil
             shutil.rmtree(path)
         self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
         meta = {"epoch": epoch, "best": self.best}
         self._meta_path().write_text(json.dumps(meta))
         save_params_npz(state.params, self.dir / "checkpoint_params.npz")
