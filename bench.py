@@ -33,7 +33,8 @@ def main():
     from trackformer_tpu.utils.config import load_config, nested_namespace
 
     cfg = load_config("train.yaml", ["deformable", "tracking", "multi_frame"],
-                      {"tpu.encoder_attention": "windowed"})
+                      {"tpu.encoder_attention": "windowed",
+                       "tpu.decoder_attention": "dense"})
     args = nested_namespace(cfg)
     model, _, postprocessors, _ = build_model(args)
 
@@ -93,8 +94,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_REFERENCE_A100_FPS, 3),
-        "encoder_mode": "windowed (TPU-fast; exact-MSDA parity mode runs "
-                        "~2.3 fps, gather-bound - see ops/msda.py notes)",
+        "mode": "tpu-fast (windowed encoder + dense decoder); the exact-MSDA "
+                "parity mode runs ~2.3 fps, gather-bound - see ops/msda.py",
     }))
 
 

@@ -72,3 +72,11 @@ def test_windowed_encoder_mode():
 def test_segm_masks():
     _, out = run([], {"masks": True, "hidden_dim": 128, "nheads": 8})
     assert out["pred_masks"].shape[:2] == (1, 10)
+
+
+def test_dense_decoder_mode():
+    _, out = run(["deformable", "tracking", "multi_frame"],
+                 {"num_queries": 10, "tpu.encoder_attention": "windowed",
+                  "tpu.decoder_attention": "dense"}, with_tq=True)
+    assert out["pred_logits"].shape == (1, 14, 20)
+    assert bool(jnp.all(jnp.isfinite(out["pred_logits"])))

@@ -102,6 +102,9 @@ class DeformableDETR(nn.Module):
     # 'msda' = exact deformable attention (reference parity);
     # 'windowed' = TPU-fast shifted-window encoder (see windowed_encoder.py)
     encoder_attention: str = "msda"
+    # decoder cross-attention: 'msda' (parity) | 'dense' (full attention —
+    # cheaper than gathers on the MXU at DETR query counts)
+    decoder_attention: str = "msda"
 
     @property
     def total_levels(self) -> int:
@@ -146,7 +149,8 @@ class DeformableDETR(nn.Module):
             DeformableDecoderLayer(self.hidden_dim, self.total_levels,
                                    self.nheads, self.dec_n_points,
                                    self.dim_feedforward, self.dropout,
-                                   self.dtype)
+                                   self.dtype,
+                                   attention=self.decoder_attention)
             for _ in range(self.dec_layers)]
 
         num_pred = self.dec_layers + (1 if self.two_stage else 0)
@@ -348,7 +352,7 @@ class DeformableDETR(nn.Module):
                                                 valid_ratios)
             out_t = layer(out_t, query_pos, ref_input, memory,
                           spatial_shapes, mask_flat, tgt_key_pad,
-                          deterministic)
+                          deterministic, src_pos=pos_flat)
             cls_i = self.class_embed[i](out_t).astype(jnp.float32)
             tmp = self.bbox_embed[i](out_t).astype(jnp.float32)
             if reference_points.shape[-1] == 4:

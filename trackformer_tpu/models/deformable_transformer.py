@@ -182,11 +182,15 @@ class DeformableDecoderLayer(nn.Module):
     dim_feedforward: int = 1024
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    # 'msda' = exact deformable sampling (reference parity); 'dense' = full
+    # cross-attention over all tokens — on TPU the MXU makes this CHEAPER
+    # than the gather-bound deformable path at DETR query counts
+    attention: str = "msda"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
                  src_padding_mask=None, tgt_key_padding_mask=None,
-                 deterministic=True):
+                 deterministic=True, src_pos=None):
         """reference_points here are already valid-ratio scaled (B, Q, L, 2|4)."""
         drop = nn.Dropout(self.dropout)
         q = k = tgt + query_pos if query_pos is not None else tgt
@@ -196,10 +200,19 @@ class DeformableDecoderLayer(nn.Module):
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(
             tgt + drop(t2, deterministic=deterministic))
 
-        t2 = MSDeformAttnModule(self.d_model, self.n_levels, self.n_heads,
-                                self.n_points, self.dtype, name="cross_attn")(
-            tgt + query_pos if query_pos is not None else tgt,
-            reference_points, src, spatial_shapes, src_padding_mask)
+        if self.attention == "dense":
+            t2 = MultiHeadAttention(self.d_model, self.n_heads, self.dropout,
+                                    self.dtype, name="cross_attn")(
+                tgt + query_pos if query_pos is not None else tgt,
+                src + src_pos.astype(src.dtype) if src_pos is not None
+                else src,
+                src, src_padding_mask, deterministic)
+        else:
+            t2 = MSDeformAttnModule(self.d_model, self.n_levels,
+                                    self.n_heads, self.n_points, self.dtype,
+                                    name="cross_attn")(
+                tgt + query_pos if query_pos is not None else tgt,
+                reference_points, src, spatial_shapes, src_padding_mask)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(
             tgt + drop(t2, deterministic=deterministic))
 

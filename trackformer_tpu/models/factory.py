@@ -87,6 +87,8 @@ def build_model(args) -> Tuple[Any, CriterionConfig, Dict, TrackingConfig]:
             remat=remat,
             encoder_attention=(getattr(tpu_cfg, "encoder_attention", "msda")
                                if tpu_cfg else "msda"),
+            decoder_attention=(getattr(tpu_cfg, "decoder_attention", "msda")
+                               if tpu_cfg else "msda"),
         )
         model = (DeformableDETRSegm(**kwargs, freeze_detr=args.freeze_detr)
                  if args.masks else DeformableDETR(**kwargs))
