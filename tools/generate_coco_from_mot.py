@@ -26,6 +26,18 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 VIS_THRESHOLD = 0.25
 
+# MOT15 sequences ship without seqinfo.ini (reference MOT_15_SEQS_INFO)
+MOT15_SEQS_INFO = {
+    "ETH-Bahnhof": {"img_width": 640, "img_height": 480, "seq_length": 1000},
+    "ETH-Sunnyday": {"img_width": 640, "img_height": 480, "seq_length": 354},
+    "KITTI-13": {"img_width": 1242, "img_height": 375, "seq_length": 340},
+    "KITTI-17": {"img_width": 1224, "img_height": 370, "seq_length": 145},
+    "PETS09-S2L1": {"img_width": 768, "img_height": 576, "seq_length": 795},
+    "TUD-Campus": {"img_width": 640, "img_height": 480, "seq_length": 71},
+    "TUD-Stadtmitte": {"img_width": 640, "img_height": 480,
+                       "seq_length": 179},
+}
+
 
 def generate_coco_from_mot(split_name: str, data_root: str,
                            seqs_names=None, root_split: str = "train",
@@ -60,11 +72,17 @@ def generate_coco_from_mot(split_name: str, data_root: str,
     img_id = 0
     name_to_id = {}
     for seq in seqs:
-        cfg = configparser.ConfigParser()
-        cfg.read(osp.join(root_split_path, seq, "seqinfo.ini"))
-        width = int(cfg["Sequence"]["imWidth"])
-        height = int(cfg["Sequence"]["imHeight"])
-        seq_length = int(cfg["Sequence"]["seqLength"])
+        ini = osp.join(root_split_path, seq, "seqinfo.ini")
+        if osp.isfile(ini):
+            cfg = configparser.ConfigParser()
+            cfg.read(ini)
+            width = int(cfg["Sequence"]["imWidth"])
+            height = int(cfg["Sequence"]["imHeight"])
+            seq_length = int(cfg["Sequence"]["seqLength"])
+        else:
+            info = MOT15_SEQS_INFO[seq]
+            width, height = info["img_width"], info["img_height"]
+            seq_length = info["seq_length"]
 
         img_dir = osp.join(root_split_path, seq, "img1")
         files = sorted(os.listdir(img_dir))
@@ -117,9 +135,11 @@ def generate_coco_from_mot(split_name: str, data_root: str,
                     })
                     ann_id += 1
         else:
+            is_mot15 = seq in MOT15_SEQS_INFO
             with open(gt_file) as f:
                 for row in csv.reader(f):
-                    if int(row[6]) != 1 or int(row[7]) != 1:
+                    if int(row[6]) != 1 or (not is_mot15
+                                            and int(row[7]) != 1):
                         continue
                     bbox = [int(float(c)) for c in row[2:6]]
                     vis = float(row[8])
