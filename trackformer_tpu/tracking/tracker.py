@@ -314,7 +314,8 @@ def _track_logic(state: TrackerState, boxes_all, scores_all, labels_all,
         num_reids=state.num_reids + jnp.sum(rk).astype(jnp.int32),
         masks=(state.masks if masks_all is None else
                jnp.where(upd[:, None, None], masks_all[:s], state.masks)),
-        attn_maps=(state.attn_maps if attn_all is None else
+        attn_maps=(state.attn_maps
+                   if (attn_all is None or state.attn_maps is None) else
                    jnp.where(upd[:, None, None], attn_all[:s],
                              state.attn_maps)),
     )
@@ -339,7 +340,8 @@ def _track_logic(state: TrackerState, boxes_all, scores_all, labels_all,
     state, d_keep = _reid(state, d_boxes, d_scores, d_hs, d_masks,
                           d_keep, cfg)
     state, new_track_mask = _scatter_new_tracks(
-        state, d_keep, d_boxes, d_scores, d_hs, d_masks, cfg, d_attn)
+        state, d_keep, d_boxes, d_scores, d_hs, d_masks, cfg,
+        d_attn if state.attn_maps is not None else None)
 
     # --- detection NMS: old tracks pinned with inf score (:485-503) ---
     if cfg.detection_nms_thresh:
