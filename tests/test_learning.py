@@ -46,3 +46,42 @@ def test_single_batch_overfit():
     last = np.mean(losses[-5:])
     assert np.isfinite(losses).all()
     assert last < 0.5 * first, (first, last, losses[::10])
+
+
+def test_tpu_fast_mode_overfit():
+    """The windowed-encoder + dense-decoder variant must also learn."""
+    cfg = load_config("train.yaml", ["deformable"], {
+        "enc_layers": 1, "dec_layers": 1, "hidden_dim": 96, "nheads": 4,
+        "dim_feedforward": 96, "num_queries": 6, "dataset": "mot",
+        "aux_loss": False, "lr": 5e-4, "lr_backbone": 5e-4, "dropout": 0.0,
+        "with_box_refine": True,
+        "tpu.encoder_attention": "windowed",
+        "tpu.decoder_attention": "dense"})
+    cfg["tpu"]["compute_dtype"] = "float32"
+    args = nested_namespace(cfg)
+    model, crit_cfg, _, _ = build_model(args)
+
+    rng = jax.random.PRNGKey(0)
+    batch = FrameBatch.from_images(
+        jax.random.normal(rng, (1, 64, 96, 3)), jnp.array([[64, 96]]))
+    targets = empty_targets(1, 3).replace(
+        valid=jnp.array([[True, True, False]]),
+        labels=jnp.zeros((1, 3), jnp.int32),
+        boxes=jnp.array([[[0.3, 0.4, 0.2, 0.3],
+                          [0.7, 0.6, 0.15, 0.2],
+                          [0, 0, 0, 0]]], jnp.float32))
+
+    params = jax.jit(model.init)(rng, batch)
+    args.lr_drop_steps = 100000
+    opt = make_optimizer(args, params)
+    state = TrainState.create(params, opt)
+    step = jax.jit(make_train_step(model, crit_cfg, opt, tracking=False))
+    pack = {"batch": batch, "targets": targets}
+
+    losses = []
+    for _ in range(60):
+        state, metrics = step(state, pack, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert np.isfinite(losses).all()
+    assert last < 0.6 * first, (first, last, losses[::10])
