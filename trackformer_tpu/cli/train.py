@@ -117,6 +117,10 @@ def main(argv=None):
         return jax.tree.map(lambda x: jax.device_put(np.asarray(x), data_sh),
                             pack)
 
+    # eval_train: run evaluation over the training split
+    # (reference train.py:285-291)
+    if getattr(args, "eval_train", False):
+        dataset_val = dataset_train or build_dataset("train", args)
     loader_val = Loader(dataset_val, args.batch_size, collate, shuffle=False,
                         process_index=jax.process_index(),
                         process_count=jax.process_count())
