@@ -19,13 +19,15 @@ import numpy as np
 
 
 class Loader:
-    """Minimal host-side batch loader with optional weighted sampling
-    (replaces DataLoader + DistributedWeightedSampler; per-host shards
-    replace DistributedSampler, SURVEY.md §2.3)."""
+    """Host-side batch loader with optional weighted sampling and
+    background-thread prefetch (replaces DataLoader workers +
+    DistributedWeightedSampler; per-host shards replace DistributedSampler,
+    SURVEY.md §2.3)."""
 
     def __init__(self, dataset, batch_size: int, collate, shuffle: bool,
                  weights=None, seed: int = 0, process_index: int = 0,
-                 process_count: int = 1, drop_last: bool = True):
+                 process_count: int = 1, drop_last: bool = True,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -35,6 +37,7 @@ class Loader:
         self.epoch = 0
         self.pi, self.pc = process_index, process_count
         self.drop_last = drop_last
+        self.prefetch = prefetch
 
     def __len__(self):
         n = len(self.dataset) // self.pc
@@ -53,14 +56,40 @@ class Loader:
             order = np.arange(n)
         order = order[self.pi::self.pc]
         self.epoch += 1
-        batch = []
-        for idx in order:
-            batch.append(self.dataset[int(idx)])
-            if len(batch) == self.batch_size:
+
+        def gen():
+            batch = []
+            for idx in order:
+                batch.append(self.dataset[int(idx)])
+                if len(batch) == self.batch_size:
+                    yield self.collate(batch)
+                    batch = []
+            if batch and not self.drop_last:
                 yield self.collate(batch)
-                batch = []
-        if batch and not self.drop_last:
-            yield self.collate(batch)
+
+        if not self.prefetch:
+            yield from gen()
+            return
+        # background-thread prefetch (image decode/augment overlaps step)
+        import queue as _queue
+        import threading
+        q = _queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for item in gen():
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
 
 
 def main(argv=None):
@@ -172,8 +201,10 @@ def main(argv=None):
         tracking=args.tracking, prev_prev=args.track_prev_prev_frame))
 
     def run_eval():
+        from ..datasets.builder import get_coco_api_from_dataset
         return evaluate(model, state.params, criterion_cfg, postprocessors,
-                        loader_val, device_put, dataset_val, args, vis,
+                        loader_val, device_put,
+                        get_coco_api_from_dataset(dataset_val), args, vis,
                         obj_detector_model=(model, state.params, args,
                                             postprocessors))
 

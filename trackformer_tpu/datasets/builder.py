@@ -18,6 +18,19 @@ import numpy as np
 from ..structures import FrameBatch, Targets
 
 
+def get_coco_api_from_dataset(dataset):
+    """Unwrap concat datasets to the underlying COCO-style dataset
+    (reference datasets/__init__.py:15-26)."""
+    for _ in range(10):
+        if hasattr(dataset, "anns_by_image"):
+            return dataset
+        if hasattr(dataset, "datasets"):
+            dataset = dataset.datasets[0]
+        else:
+            break
+    raise TypeError(f"no COCO-style dataset inside {type(dataset)}")
+
+
 def build_dataset(image_set: str, args):
     from .coco import build_coco
     from .crowdhuman import build_crowdhuman
