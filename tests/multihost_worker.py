@@ -1,0 +1,109 @@
+"""Worker for the 2-process multi-host smoke test (run by
+test_multihost.py, one subprocess per simulated host).
+
+Exercises the real production multi-host code paths:
+  * `cli.submit.init_distributed` rank discovery from COORDINATOR_ADDRESS /
+    NUM_PROCESSES / PROCESS_ID (reference util/misc.py:421-444),
+  * `parallel.all_gather_objects` variable-size object gather (reference
+    util/misc.py:91-132),
+  * `CocoEvaluator.synchronize_between_processes` eval merge (reference
+    datasets/coco_eval.py:58-64),
+  * the sharded detection train step over a global 2-process mesh with the
+    gradient all-reduce inserted by XLA (reference DDP, train.py:87-89).
+
+Prints one line per check; the parent asserts on them.
+"""
+import faulthandler
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from trackformer_tpu.cli.submit import init_distributed
+
+
+def main():
+    faulthandler.dump_traceback_later(240, exit=False)
+    assert init_distributed(), "multi-host context not detected"
+    pid = jax.process_index()
+    assert jax.process_count() == 2
+    assert jax.local_device_count() == 2
+    assert jax.device_count() == 4
+
+    # --- variable-size object allgather ---
+    from trackformer_tpu.parallel import all_gather_objects, make_mesh
+    objs = all_gather_objects({"rank": pid, "payload": "x" * (10 + 90 * pid)})
+    assert [o["rank"] for o in objs] == [0, 1], objs
+    assert [len(o["payload"]) for o in objs] == [10, 100]
+    print(f"[{pid}] allgather_objects OK")
+
+    # --- coco eval merge (different keys per process) ---
+    from trackformer_tpu.datasets.coco_eval import CocoEvaluator
+    ev = CocoEvaluator(gt_dataset=None)
+    ev.update({100 + pid: {"boxes": np.full((pid + 1, 4), pid, np.float32),
+                           "scores": np.ones(pid + 1, np.float32),
+                           "labels": np.zeros(pid + 1, np.int64)}})
+    ev.synchronize_between_processes()
+    assert sorted(ev.predictions) == [100, 101], sorted(ev.predictions)
+    assert ev.predictions[101]["boxes"].shape == (2, 4)
+    print(f"[{pid}] coco_eval merge OK")
+
+    # --- sharded train step over the global mesh ---
+    from trackformer_tpu.engine import (TrainState, make_optimizer,
+                                        make_train_step)
+    from trackformer_tpu.models import build_model
+    from trackformer_tpu.structures import FrameBatch, empty_targets
+    from trackformer_tpu.utils.config import load_config, nested_namespace
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = load_config("train.yaml", [], {
+        "enc_layers": 1, "dec_layers": 1, "hidden_dim": 32, "nheads": 2,
+        "dim_feedforward": 64, "num_queries": 6, "dataset": "mot",
+        "tpu.compute_dtype": "float32"})
+    args = nested_namespace(cfg)
+    model, crit_cfg, _, track_cfg = build_model(args)
+
+    mesh = make_mesh()  # all 4 global devices
+    rng = jax.random.PRNGKey(0)
+    local_b, t = 2, 3
+    # per-host local batch shard, combined into one global array (the
+    # per-host data loading that replaces DistributedSampler)
+    local_imgs = jax.random.normal(
+        jax.random.PRNGKey(100 + pid), (local_b, 32, 48, 3))
+    batch = FrameBatch.from_images(
+        local_imgs, jnp.tile(jnp.array([[30, 45]], jnp.int32), (local_b, 1)))
+    targets = empty_targets(local_b, t).replace(
+        valid=jnp.ones((local_b, t), bool),
+        track_ids=jnp.tile(jnp.arange(t, dtype=jnp.int32)[None],
+                           (local_b, 1)),
+        boxes=jnp.clip(jax.random.uniform(rng, (local_b, t, 4)), 0.2, 0.6))
+    data_sh = NamedSharding(mesh, P("data"))
+    pack = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(data_sh, x),
+        {"batch": batch, "targets": targets})
+
+    params = model.init(rng, batch)  # identical on both processes (same rng)
+    optimizer = make_optimizer(args, params)
+    state = TrainState.create(params, optimizer)
+    train_step = jax.jit(make_train_step(model, crit_cfg, optimizer,
+                                         track_cfg, tracking=False))
+    # compile first, then barrier, then execute: without the barrier a
+    # compile-time skew between processes makes the slower one miss the
+    # Gloo context connect window during the collective execution
+    compiled = train_step.lower(state, pack, jax.random.PRNGKey(1)).compile()
+    print(f"[{pid}] compiled", flush=True)
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("compiled")
+    state, metrics = compiled(state, pack, jax.random.PRNGKey(1))
+    loss = float(metrics["loss"])
+    gnorm = float(metrics["grad_norm"])
+    assert np.isfinite(loss)
+    assert int(state.step) == 1
+    print(f"[{pid}] train_step OK loss={loss:.6f} grad_norm={gnorm:.6f}")
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)

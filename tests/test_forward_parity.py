@@ -1,0 +1,178 @@
+"""End-to-end FORWARD parity against the reference model through the
+weight converter (VERDICT item 4).
+
+The reference DETR / DeformableDETR (torch CPU, loaded via ref_loader with
+the deformable attention running the reference's own pure-PyTorch core) is
+instantiated with random weights; the state dict is converted with
+tools/convert_weights.convert into our flax params; both models run the
+same image and the outputs (pred_logits / pred_boxes / hs_embed) must
+agree. This pins the whole stack — ResNet+FrozenBN backbone, sine position
+encoding, (deformable) transformer, heads, query layout and track-query
+injection — to the reference numerics, not just the MSDA op.
+
+Reference counterparts: models/detr.py:62-136, models/deformable_detr.py:
+124-283, models/__init__.py:32-69 (model assembly), train.py resume path
+(the converter's job).
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ref_loader import load_reference  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+from convert_weights import convert  # noqa: E402
+
+from trackformer_tpu.models import build_model  # noqa: E402
+from trackformer_tpu.structures import FrameBatch  # noqa: E402
+from trackformer_tpu.utils.checkpoint import (flatten_params,  # noqa: E402
+                                              unflatten_params)
+from trackformer_tpu.utils.config import (load_config,  # noqa: E402
+                                          nested_namespace)
+
+H, W = 96, 128
+
+SMALL = {
+    "hidden_dim": 64, "nheads": 2, "enc_layers": 2, "dec_layers": 2,
+    "dim_feedforward": 128, "num_queries": 10, "dropout": 0.0,
+    "tpu.compute_dtype": "float32",
+}
+
+
+def make_args(named, over):
+    cfg = load_config("train.yaml", named, {**SMALL, **over})
+    return nested_namespace(cfg)
+
+
+def build_reference_model(ns, args, num_classes):
+    """Mirror reference models/__init__.py:32-69 for the non-mask,
+    non-tracking cases."""
+    backbone = ns.backbone.build_backbone(args)
+    detr_kwargs = {
+        "backbone": backbone,
+        "num_classes": num_classes - 1 if args.focal_loss else num_classes,
+        "num_queries": args.num_queries,
+        "aux_loss": args.aux_loss,
+        "overflow_boxes": args.overflow_boxes,
+    }
+    if args.deformable:
+        transformer = ns.deformable_transformer.build_deforamble_transformer(
+            args)
+        detr_kwargs.update(
+            transformer=transformer,
+            num_feature_levels=args.num_feature_levels,
+            with_box_refine=args.with_box_refine,
+            two_stage=args.two_stage,
+            multi_frame_attention=args.multi_frame_attention,
+            multi_frame_encoding=args.multi_frame_encoding,
+            merge_frame_features=args.merge_frame_features)
+        model = ns.deformable_detr.DeformableDETR(**detr_kwargs)
+    else:
+        detr_kwargs["transformer"] = ns.transformer.build_transformer(args)
+        model = ns.detr.DETR(**detr_kwargs)
+    model.eval()
+    # randomize the FrozenBN buffers (default ones/zeros would hide
+    # mean/var/scale mapping bugs in the converter)
+    g = torch.Generator().manual_seed(7)
+    for name, buf in model.named_buffers():
+        if name.endswith("running_var") or name.endswith("weight"):
+            buf.uniform_(0.8, 1.2, generator=g)
+        else:
+            buf.normal_(0.0, 0.05, generator=g)
+    return model
+
+
+def convert_into(torch_model, jax_model, batch):
+    params = jax.jit(jax_model.init)(jax.random.PRNGKey(0), batch)
+    flat = flatten_params(params)
+    state = {k: v.detach().cpu().numpy()
+             for k, v in torch_model.state_dict().items()}
+    return unflatten_params(convert(state, flat, verbose=False))
+
+
+def run_pair(named, over, dataset, num_classes, track_queries=0, seed=5):
+    ns = load_reference()
+    args = make_args(named, {**over, "dataset": dataset})
+    torch.manual_seed(seed)
+    ref_model = build_reference_model(ns, args, num_classes)
+
+    rng = np.random.default_rng(seed)
+    img = rng.standard_normal((3, H, W)).astype(np.float32)
+
+    jax_model, _, _, _ = build_model(args)
+    batch = FrameBatch.from_images(
+        jnp.asarray(img.transpose(1, 2, 0))[None], jnp.array([[H, W]]))
+    params = convert_into(ref_model, jax_model, batch)
+
+    targets_t = None
+    targets_j = None
+    if track_queries:
+        k = track_queries
+        tq_hs = rng.standard_normal((k, args.hidden_dim)).astype(np.float32)
+        tq_boxes = np.clip(
+            rng.uniform(0.2, 0.7, (k, 4)), 0.05, 0.95).astype(np.float32)
+        targets_t = [{
+            "track_query_hs_embeds": torch.from_numpy(tq_hs.copy()),
+            "track_query_boxes": torch.from_numpy(tq_boxes.copy()),
+        }]
+        from trackformer_tpu.structures import empty_targets
+        targets_j = empty_targets(1, 1).with_track_queries(
+            jnp.asarray(tq_hs)[None], jnp.asarray(tq_boxes)[None],
+            jnp.ones((1, k), bool))
+
+    with torch.no_grad():
+        samples = ns.misc.nested_tensor_from_tensor_list(
+            [torch.from_numpy(img)])
+        ref_out, *_ = ref_model(samples, targets_t)
+
+    out, *_ = jax_model.apply(params, batch, targets_j)
+    return ref_out, out
+
+
+def assert_match(ref_out, out, atol, what=("pred_logits", "pred_boxes",
+                                           "hs_embed")):
+    for key in what:
+        ref = ref_out[key].detach().cpu().numpy()
+        ours = np.asarray(out[key])
+        assert ref.shape == ours.shape, (key, ref.shape, ours.shape)
+        np.testing.assert_allclose(
+            ours, ref, atol=atol, rtol=1e-3,
+            err_msg=f"{key}: max|d|={np.abs(ours - ref).max():.2e}")
+
+
+def test_vanilla_detr_forward_parity():
+    """Vanilla DETR (dense attention), COCO classes: logits/boxes/hs must
+    match the reference through the converter."""
+    ref_out, out = run_pair([], {}, "coco", 91)
+    assert_match(ref_out, out, atol=2e-4)
+
+
+def test_vanilla_detr_track_query_parity():
+    """Track-query injection path of vanilla DETR (reference
+    detr.py:96-116: hs embeds seeded into tgt, zero query_pos)."""
+    ref_out, out = run_pair([], {}, "coco", 91, track_queries=4)
+    assert_match(ref_out, out, atol=1e-3)
+
+
+def test_deformable_detr_forward_parity():
+    """Deformable DETR: 4 feature levels, box refine, focal-style head —
+    exact-MSDA path vs the reference pytorch core."""
+    ref_out, out = run_pair(["deformable"],
+                            {"num_queries": 12, "nheads": 8}, "mot", 20)
+    assert_match(ref_out, out, atol=1e-3)
+
+
+def test_deformable_detr_track_query_parity():
+    """Deformable track-query injection (reference deformable_transformer.py
+    :202-230: prev hs embeds as tgt, prev boxes as reference points)."""
+    ref_out, out = run_pair(
+        ["deformable"], {"num_queries": 12, "nheads": 8}, "mot", 20,
+        track_queries=5)
+    assert_match(ref_out, out, atol=1e-3)

@@ -20,23 +20,43 @@ import os
 import sys
 
 
-def main(argv=None):
+def init_distributed() -> bool:
+    """Initialize jax.distributed when launched multi-host; returns whether
+    a multi-host context was detected (reference util/misc.py:421-444
+    rank-discovery equivalent).
+
+    Explicit COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env vars take
+    precedence (generic launchers, and the multi-host smoke test); SLURM and
+    TPU-pod environments are auto-detected by jax.distributed itself.
+    """
     import jax
 
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    multi_host = (
+        coord
+        or os.environ.get("SLURM_NTASKS", "1") not in ("", "1")
+        or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0)
+    if not multi_host:
+        return False
+    kwargs = {}
+    if coord:
+        kwargs = dict(coordinator_address=coord,
+                      num_processes=int(os.environ["NUM_PROCESSES"]),
+                      process_id=int(os.environ["PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
+    print(f"jax.distributed initialized: process "
+          f"{jax.process_index()}/{jax.process_count()}, "
+          f"{jax.local_device_count()} local / "
+          f"{jax.device_count()} global devices")
+    return True
+
+
+def main(argv=None):
     argv = list(argv or sys.argv[1:])
     # pull submit.* overrides out; the rest goes to the train CLI
     train_argv = [a for a in argv if not a.startswith("submit.")]
 
-    multi_host = (
-        os.environ.get("COORDINATOR_ADDRESS")
-        or os.environ.get("SLURM_NTASKS", "1") not in ("", "1")
-        or os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0)
-    if multi_host:
-        jax.distributed.initialize()
-        print(f"jax.distributed initialized: process "
-              f"{jax.process_index()}/{jax.process_count()}, "
-              f"{jax.local_device_count()} local / "
-              f"{jax.device_count()} global devices")
+    init_distributed()
 
     # preemption resilience: always resume optimizer state if a checkpoint
     # exists in output_dir (run_with_submitit.py:53-67 equivalent)

@@ -189,6 +189,15 @@ def main(argv=None, obj_detector_model=None):
         print(f"RUNTIME ALL SEQS (w/o EVAL or IMG WRITE): "
               f"{time_total:.2f} s for {num_frames} frames "
               f"({num_frames / max(time_total, 1e-9):.2f} Hz)")
+    # merge per-process accumulators so every process reports global
+    # metrics (reference engine.py:326-332 all_gathers mot_accums)
+    if proc_n > 1:
+        from ..parallel import all_gather_objects
+        merged_accums, merged_names = [], []
+        for accums, names in all_gather_objects((mot_accums, seq_names)):
+            merged_accums.extend(accums)
+            merged_names.extend(names)
+        mot_accums, seq_names = merged_accums, merged_names
     if mot_accums:
         print("EVAL:")
         summary = track_utils.evaluate_mot_accums(mot_accums, seq_names)

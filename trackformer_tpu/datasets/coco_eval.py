@@ -59,20 +59,50 @@ class CocoEvaluator:
         self.predictions.update(predictions)
 
     def synchronize_between_processes(self):
-        try:
-            import jax
-            from jax.experimental import multihost_utils
-            if jax.process_count() > 1:
-                gathered = multihost_utils.process_allgather(
-                    (self.predictions,))
-                merged = {}
-                for shard in gathered:
-                    merged.update(shard[0])
-                self.predictions = merged
-        except Exception:
-            pass
+        """Merge per-process predictions (reference coco_eval.py:58-64).
+        Unlike round 1 this does NOT swallow failures — a multi-host eval
+        that fails to merge must not silently report per-host AP."""
+        import jax
+        if jax.process_count() <= 1:
+            return
+        from ..parallel import all_gather_objects
+        merged = {}
+        for shard in all_gather_objects(self.predictions):
+            merged.update(shard)
+        self.predictions = merged
 
-    def _evaluate_images(self, cat_id: Optional[int], area_rng, max_det):
+    def _mask_iou(self, pred, det_idx, anns, g_crowd, img_id):
+        """Mask IoU matrix + det mask areas for `segm` evaluation
+        (pycocotools maskUtils.iou equivalent: crowd GT uses det area as
+        the denominator)."""
+        from ..utils import rle
+
+        img_info = getattr(self.gt, "images", {}).get(img_id, {})
+        pred_masks = pred["masks"]
+        d_masks = []
+        for i in det_idx:
+            m = pred_masks[int(i)]
+            d_masks.append(rle.decode_mask(m) if isinstance(m, dict)
+                           else np.asarray(m, bool))
+        if d_masks:
+            h, w = d_masks[0].shape
+        else:
+            h = img_info.get("height", 1)
+            w = img_info.get("width", 1)
+        g_masks = [rle.segmentation_to_mask(a["segmentation"], h, w)
+                   for a in anns]
+        d_area = np.array([m.sum() for m in d_masks], np.float64)
+        ious = np.zeros((len(d_masks), len(g_masks)))
+        for di, dm in enumerate(d_masks):
+            for gj, gm in enumerate(g_masks):
+                inter = np.logical_and(dm, gm).sum()
+                union = dm.sum() if g_crowd[gj] else \
+                    dm.sum() + gm.sum() - inter
+                ious[di, gj] = inter / max(union, 1e-12)
+        return ious, d_area
+
+    def _evaluate_images(self, cat_id: Optional[int], area_rng, max_det,
+                         iou_type: str = "bbox"):
         """Per-image COCOeval-style matching -> flat tp/fp/score arrays."""
         tps, scores, n_gt = [], [], 0
         lo, hi = area_rng
@@ -89,17 +119,19 @@ class CocoEvaluator:
                                for a, b in zip(anns, g_boxes)], np.float64)
             g_ignore = g_crowd.astype(bool) | (g_area < lo) | (g_area > hi)
             order_g = np.argsort(g_ignore, kind="stable")
+            anns = [anns[j] for j in order_g]
             g_boxes, g_crowd, g_ignore = (g_boxes[order_g], g_crowd[order_g],
                                           g_ignore[order_g])
 
             boxes = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
-            d_scores = np.asarray(pred["scores"], np.float64)
+            all_scores = np.asarray(pred["scores"], np.float64)
             labels = np.asarray(pred["labels"])
+            det_idx = np.arange(len(all_scores))
             if cat_id is not None:
-                keep = labels == cat_id
-                boxes, d_scores = boxes[keep], d_scores[keep]
-            order = np.argsort(-d_scores, kind="stable")[:max_det]
-            boxes, d_scores = boxes[order], d_scores[order]
+                det_idx = det_idx[labels == cat_id]
+            order = np.argsort(-all_scores[det_idx], kind="stable")[:max_det]
+            det_idx = det_idx[order]
+            boxes, d_scores = boxes[det_idx], all_scores[det_idx]
             d_xywh = np.stack([boxes[:, 0], boxes[:, 1],
                                boxes[:, 2] - boxes[:, 0],
                                boxes[:, 3] - boxes[:, 1]], 1) \
@@ -107,7 +139,11 @@ class CocoEvaluator:
             d_area = d_xywh[:, 2] * d_xywh[:, 3] if len(boxes) else \
                 np.zeros(0)
 
-            ious = box_iou_xywh(d_xywh, g_boxes, g_crowd)
+            if iou_type == "segm":
+                ious, d_area = self._mask_iou(pred, det_idx, anns, g_crowd,
+                                              img_id)
+            else:
+                ious = box_iou_xywh(d_xywh, g_boxes, g_crowd)
             t = len(IOU_THRS)
             tp = np.zeros((t, len(boxes)), bool)
             d_ig = np.zeros((t, len(boxes)), bool)
@@ -136,11 +172,12 @@ class CocoEvaluator:
             n_gt += int((~g_ignore).sum())
         return tps, scores, n_gt
 
-    def _ap_ar(self, cat_ids, area: str = "all", max_det: int = 100):
+    def _ap_ar(self, cat_ids, area: str = "all", max_det: int = 100,
+               iou_type: str = "bbox"):
         ap_list, ar_list = [], []
         for cat in cat_ids:
             tps, scores, n_gt = self._evaluate_images(
-                cat, AREA_RANGES[area], max_det)
+                cat, AREA_RANGES[area], max_det, iou_type)
             if n_gt == 0:
                 continue
             all_scores = np.concatenate(scores) if scores else np.zeros(0)
@@ -173,23 +210,28 @@ class CocoEvaluator:
         return np.mean(ap_list, 0), np.mean(ar_list, 0)
 
     def summarize(self) -> Dict[str, List[float]]:
+        """The standard 12 COCO statistics per iou_type (reference
+        coco_eval.py:75+ prepares bbox AND segm when masks are on)."""
         cat_ids = sorted({a["category_id"]
                           for anns in self.gt.anns_by_image.values()
                           for a in anns})
-        ap, _ = self._ap_ar(cat_ids, "all", 100)
-        stats = [float(np.nanmean(ap)), float(ap[0]), float(ap[5])]
-        for area in ("small", "medium", "large"):
-            a, _ = self._ap_ar(cat_ids, area, 100)
-            stats.append(float(np.nanmean(a)))
-        for md in (1, 10, 100):
-            _, ar = self._ap_ar(cat_ids, "all", md)
-            stats.append(float(np.nanmean(ar)))
-        for area in ("small", "medium", "large"):
-            _, ar = self._ap_ar(cat_ids, area, 100)
-            stats.append(float(np.nanmean(ar)))
         names = ["AP", "AP50", "AP75", "APs", "APm", "APl",
                  "AR1", "AR10", "AR100", "ARs", "ARm", "ARl"]
-        print("COCO eval:")
-        for n, s in zip(names, stats):
-            print(f"  {n:6s} = {s:.3f}")
-        return {"bbox": stats}
+        out = {}
+        for iou_type in self.iou_types:
+            ap, _ = self._ap_ar(cat_ids, "all", 100, iou_type)
+            stats = [float(np.nanmean(ap)), float(ap[0]), float(ap[5])]
+            for area in ("small", "medium", "large"):
+                a, _ = self._ap_ar(cat_ids, area, 100, iou_type)
+                stats.append(float(np.nanmean(a)))
+            for md in (1, 10, 100):
+                _, ar = self._ap_ar(cat_ids, "all", md, iou_type)
+                stats.append(float(np.nanmean(ar)))
+            for area in ("small", "medium", "large"):
+                _, ar = self._ap_ar(cat_ids, area, 100, iou_type)
+                stats.append(float(np.nanmean(ar)))
+            print(f"COCO eval ({iou_type}):")
+            for n, s in zip(names, stats):
+                print(f"  {n:6s} = {s:.3f}")
+            out[iou_type] = stats
+        return out

@@ -67,12 +67,16 @@ def label_params(params, lr_backbone_trainable: bool = True):
 
 def make_optimizer(args, params) -> optax.GradientTransformation:
     """Param-group AdamW with MultiStep LR drop and global-norm clipping."""
-    drop_step = getattr(args, "lr_drop_steps", None)
+    # reference MultiStepLR accepts a single drop epoch or a list of them
+    # (src/train.py:120); each milestone multiplies the LR by 0.1
+    drop_steps = getattr(args, "lr_drop_steps", None)
+    if drop_steps and not isinstance(drop_steps, (list, tuple)):
+        drop_steps = [drop_steps]
 
     def schedule(base_lr):
-        if drop_step:
+        if drop_steps:
             return optax.piecewise_constant_schedule(
-                base_lr, {int(drop_step): 0.1})
+                base_lr, {int(s): 0.1 for s in sorted(drop_steps)})
         return base_lr
 
     def adamw(lr):

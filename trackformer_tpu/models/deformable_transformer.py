@@ -79,11 +79,15 @@ class MSDeformAttnModule(nn.Module):
             name="attention_weights")(query).reshape(b, lq, m, l * p)
         attn = nn.softmax(attn, axis=-1).reshape(b, lq, m, l, p)
 
-        shapes_wh = jnp.asarray(  # (L, 2) as (W, H) for x/y normalization
-            [[w_, h_] for h_, w_ in spatial_shapes], jnp.float32)
+        # NOTE: the reference normalizes the (x, y) offsets by (H, W) —
+        # ops/modules/ms_deform_attn.py:79 divides by input_spatial_shapes
+        # rows directly — unlike the original Deformable-DETR repo's
+        # (W, H) offset_normalizer. Its released checkpoints embody this
+        # convention, so weight-conversion parity requires matching it.
+        shapes_hw = jnp.asarray(list(spatial_shapes), jnp.float32)
         if reference_points.shape[-1] == 2:
             loc = (reference_points[:, :, None, :, None, :]
-                   + offsets / shapes_wh[None, None, None, :, None, :])
+                   + offsets / shapes_hw[None, None, None, :, None, :])
         else:
             loc = (reference_points[:, :, None, :, None, :2]
                    + offsets / p * reference_points[:, :, None, :, None, 2:]

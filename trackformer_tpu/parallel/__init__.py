@@ -1,1 +1,2 @@
-from .mesh import make_mesh, shard_batch, replicate  # noqa: F401
+from .mesh import (make_mesh, shard_batch, replicate,  # noqa: F401
+                   all_gather_objects)

@@ -45,3 +45,32 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = "data"):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def all_gather_objects(obj):
+    """Gather an arbitrary picklable object from every process; returns a
+    list of per-process objects (same on all processes).
+
+    The TPU-native equivalent of the reference's pickle -> byte tensor ->
+    padded dist.all_gather (/root/reference/src/trackformer/util/misc.py:
+    91-132): objects of different sizes/structures per process are pickled
+    to uint8 arrays, padded to the max length, and gathered with
+    `multihost_utils.process_allgather` (which requires identical shapes
+    across processes — the reason a naive pytree allgather of per-host
+    predictions cannot work).
+    """
+    import pickle
+
+    if jax.process_count() <= 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray(data.size, np.int64))
+    max_n = int(sizes.max())
+    padded = np.zeros(max_n, np.uint8)
+    padded[:data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(gathered[i, :int(sizes[i])].tobytes())
+            for i in range(gathered.shape[0])]

@@ -459,9 +459,6 @@ def make_tracker_step(apply_fn: Callable, postprocess: Callable,
     return jax.jit(step)
 
 
-    return jax.jit(step)
-
-
 class Tracker:
     """Host shell: drives the jitted step over a sequence and accumulates
     MOTChallenge-style results (reference Tracker API: reset/step/get_results,
