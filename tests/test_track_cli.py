@@ -144,3 +144,42 @@ def test_attention_maps_vanilla_detr(mot17_root, tmp_path):
         "frame_range.end=0.5",
         "tracker_cfg.detection_obj_score_thresh=0.0",
     ])
+
+
+def test_plot_sequence_attention_overlay_and_video(tmp_path):
+    """Attention-map overlay rendering (reference track_utils.py:208-231)
+    and the video writer (README ffmpeg workflow; GIF fallback here)."""
+    import numpy as np
+    from PIL import Image
+
+    from trackformer_tpu.utils.track_utils import plot_sequence, write_video
+
+    frames_dir = tmp_path / "seq"
+    frames_dir.mkdir()
+
+    class MiniSeq:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            p = frames_dir / f"{i:06d}.jpg"
+            if not p.exists():
+                Image.fromarray(
+                    np.full((64, 96, 3), 60 + 40 * i, np.uint8)).save(p)
+            return {"img_path": str(p)}
+
+    amap = np.zeros((8, 12), np.float32)
+    amap[2:4, 3:6] = 1.0
+    tracks = {0: {f: {"bbox": np.array([10, 10, 40, 40], np.float32),
+                      "score": 0.9, "attention_map": amap}
+                  for f in range(2)}}
+    out_dir = tmp_path / "plots"
+    plot_sequence(tracks, MiniSeq(), str(out_dir),
+                  write_images="debug", generate_attention_maps=True)
+    written = sorted(out_dir.iterdir())
+    assert len(written) == 2
+
+    video = write_video(str(out_dir), str(tmp_path / "clip.mp4"), fps=5)
+    assert video.endswith((".mp4", ".gif"))
+    import os
+    assert os.path.getsize(video) > 0

@@ -150,6 +150,26 @@ def main(argv=None):
     # (reference train.py:285-291)
     if getattr(args, "eval_train", False):
         dataset_val = dataset_train or build_dataset("train", args)
+    # TPU-only knob: cap evaluation to the first N images so periodic val
+    # doesn't re-iterate a full split every interval (tpu.eval_subset=0
+    # keeps the reference's full-split behavior, train.py:285-291)
+    eval_subset = int(tpu_cfg.get("eval_subset", 0) or 0)
+    if eval_subset and len(dataset_val) > eval_subset:
+        class _EvalSubset:
+            def __init__(self, base, n):
+                self._base, self._n = base, n
+
+            def __len__(self):
+                return self._n
+
+            def __getitem__(self, i):
+                return self._base[i]
+
+            def __getattr__(self, name):  # GT access for the evaluator
+                return getattr(self._base, name)
+
+        print(f"EVAL SUBSET: {eval_subset}/{len(dataset_val)} images")
+        dataset_val = _EvalSubset(dataset_val, eval_subset)
     loader_val = Loader(dataset_val, args.batch_size, collate, shuffle=False,
                         process_index=jax.process_index(),
                         process_count=jax.process_count())

@@ -30,6 +30,7 @@ class CocoPanoptic:
                                      key=lambda x: x["id"])
         self.img_folder = Path(img_folder)
         self.ann_folder = Path(ann_folder)
+        self.ann_file = Path(ann_file)
         self._transforms = transforms
         self._norm_transforms = norm_transforms
         self.return_masks = return_masks

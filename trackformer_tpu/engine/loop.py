@@ -39,10 +39,13 @@ def train_one_epoch(train_step, state, loader, device_put, epoch: int,
 
 
 def make_results(outputs: Dict, targets, postprocess,
-                 num_object_queries: int) -> Dict[int, dict]:
+                 num_object_queries: int, postprocess_segm=None,
+                 batch=None) -> Dict[int, dict]:
     """Model outputs -> per-image detection dicts at original resolution
     (reference engine.py:24-98). Only object-query slots feed detection
-    eval."""
+    eval. With `postprocess_segm` + `batch`, per-image masks are cropped to
+    the valid region, rescaled to the original size and RLE-encoded for
+    segm AP (reference PostProcessSegm, detr_segmentation.py:219-253)."""
     res = postprocess(outputs, jnp.asarray(targets.orig_size))
     out = {}
     boxes = np.asarray(res["boxes"])[:, -num_object_queries:]
@@ -55,6 +58,27 @@ def make_results(outputs: Dict, targets, postprocess,
             "scores": scores[i],
             "labels": labels[i] + 1,  # back to 1-based category ids
         }
+    if postprocess_segm is not None and batch is not None \
+            and "pred_masks" in outputs:
+        from PIL import Image
+
+        from ..utils import rle
+        pad_hw = batch.images.shape[1:3]
+        segm = postprocess_segm({}, outputs, pad_hw, return_probs=True)
+        probs = np.asarray(segm["masks"])[:, -num_object_queries:]
+        sizes = np.asarray(targets.size)
+        origs = np.asarray(targets.orig_size)
+        for i, img_id in enumerate(image_ids):
+            h_i, w_i = int(sizes[i, 0]), int(sizes[i, 1])
+            oh, ow = int(origs[i, 0]), int(origs[i, 1])
+            rles = []
+            for q in range(probs.shape[1]):
+                m = probs[i, q, :h_i, :w_i]
+                if (oh, ow) != (h_i, w_i):
+                    m = np.asarray(Image.fromarray(m).resize(
+                        (ow, oh), Image.BILINEAR))
+                rles.append(rle.encode_mask(m > 0.5))
+            out[int(img_id)]["masks"] = rles
     return out
 
 
@@ -65,7 +89,19 @@ def evaluate(model, params, criterion_cfg, postprocessors, loader,
 
     logger = MetricLogger(args.vis_and_log_interval,
                           debug=getattr(args, "debug", False))
-    evaluator = CocoEvaluator(gt_dataset)
+    with_masks = getattr(args, "masks", False)
+    iou_types = ("bbox", "segm") if with_masks else ("bbox",)
+    evaluator = CocoEvaluator(gt_dataset, iou_types)
+
+    # panoptic eval (reference engine.py:193-200, 244-280)
+    panoptic_evaluator = None
+    if "panoptic" in postprocessors and hasattr(gt_dataset, "ann_file"):
+        from ..datasets.panoptic_eval import PanopticEvaluator
+        import os.path as osp
+        panoptic_evaluator = PanopticEvaluator(
+            str(gt_dataset.ann_file), str(gt_dataset.ann_folder),
+            output_dir=osp.join(getattr(args, "output_dir", None) or ".",
+                                "panoptic_eval"))
 
     @jax.jit
     def eval_step(params, batch, targets):
@@ -80,9 +116,21 @@ def evaluate(model, params, criterion_cfg, postprocessors, loader,
         logger.update(**{k: float(v) for k, v in losses.items()
                          if k in criterion_cfg.weight_dict
                          or k in ("class_error", "cardinality_error")})
-        evaluator.update(make_results(out, pack["targets"],
-                                      postprocessors["bbox"],
-                                      args.num_queries))
+        evaluator.update(make_results(
+            out, pack["targets"], postprocessors["bbox"], args.num_queries,
+            postprocess_segm=postprocessors.get("segm") if with_masks
+            else None,
+            batch=pack["batch"]))
+        if panoptic_evaluator is not None:
+            targets = pack["targets"]
+            obj_out = {k: np.asarray(out[k])[:, -args.num_queries:]
+                       for k in ("pred_logits", "pred_masks")}
+            preds = postprocessors["panoptic"](
+                obj_out, processed_sizes=np.asarray(targets.size).tolist(),
+                target_sizes=np.asarray(targets.orig_size).tolist())
+            for p, img_id in zip(preds, np.asarray(targets.image_id)):
+                p["image_id"] = int(img_id)
+            panoptic_evaluator.update(preds)
 
     evaluator.synchronize_between_processes()
     coco_stats = evaluator.summarize()
@@ -90,6 +138,15 @@ def evaluate(model, params, criterion_cfg, postprocessors, loader,
     stats["coco_eval_bbox"] = coco_stats["bbox"]
     stats["AP"] = coco_stats["bbox"][0]
     stats["AP50"] = coco_stats["bbox"][1]
+    if "segm" in coco_stats:
+        stats["coco_eval_masks"] = coco_stats["segm"]
+        stats["AP_masks"] = coco_stats["segm"][0]
+    if panoptic_evaluator is not None:
+        panoptic_evaluator.synchronize_between_processes()
+        pq = panoptic_evaluator.summarize()
+        stats["PQ_all"] = pq["PQ"]
+        stats["SQ_all"] = pq["SQ"]
+        stats["RQ_all"] = pq["RQ"]
 
     if getattr(args, "tracking", False) and getattr(args, "tracking_eval",
                                                     False):

@@ -150,6 +150,14 @@ def build_model(args) -> Tuple[Any, CriterionConfig, Dict, TrackingConfig]:
     if args.masks:
         from .segmentation import postprocess_segm
         postprocessors["segm"] = postprocess_segm
+        if args.dataset == "coco_panoptic":
+            # things are categories 1..90 (reference models/__init__.py:124)
+            import functools
+            from .panoptic import postprocess_panoptic
+            is_thing_map = {i: i <= 90 for i in range(250)}
+            postprocessors["panoptic"] = functools.partial(
+                postprocess_panoptic, is_thing_map=is_thing_map,
+                threshold=0.85)
 
     tracking_cfg = TrackingConfig(
         false_positive_prob=args.track_query_false_positive_prob,

@@ -48,25 +48,93 @@ def load_params_npz(path) -> Dict:
         return unflatten_params({k: data[k] for k in data.files})
 
 
+def _out_axis(key: str, arr: np.ndarray) -> int:
+    """Axis holding the torch 'dim 0' (output features) in our layout:
+    kernels are (in, out) / HWIO, so it is the LAST axis; biases, scales
+    and embeddings keep it first."""
+    return arr.ndim - 1 if key.endswith("/kernel") else 0
+
+
+def _take_out(arr: np.ndarray, axis: int, n: int) -> np.ndarray:
+    return np.take(arr, np.arange(n), axis=axis)
+
+
 def adapt_params(loaded: Dict[str, np.ndarray],
                  target: Dict[str, np.ndarray],
                  resume_shift_neuron: bool = False,
                  verbose: bool = True) -> Dict[str, np.ndarray]:
-    """Shape-adaptive warm start on flattened dicts (reference
-    train.py:149-238): matching shapes copy through; class heads are sliced
-    or padded; query embeddings copy the overlapping prefix; everything else
-    keeps the fresh init."""
+    """Shape-adaptive warm start implementing the reference's surgery rules
+    (train.py:161-238), translated to our flax layouts (torch dim 0 = our
+    kernel last axis):
+
+      * 'norm'                      -> repeat(2)                (:174-175)
+      * 'self_attn'/'multihead_attn'-> repeat 2 on every dim    (:176-177)
+      * 'reference_points' (out x2) -> fresh, prefix = loaded   (:178-180)
+      * 'linear1'/'query_embed'     -> fresh init               (:181-184)
+      * 'linear2'/'input_proj'      -> repeat 2 on the out axis (:197-198)
+      * 'class_embed'               -> slice leading classes    (:199-206)
+      * resume_shift_neuron (equal shapes, class head): rotate class
+        neurons so label 0 sits at neuron 0                     (:214-223)
+
+    Unmatched mismatches fall back to generic slice/pad (and say so) — the
+    reference raises NotImplementedError there instead.
+    """
     out = dict(target)
     for key, tgt in target.items():
         if key not in loaded:
+            if verbose:
+                print(f"resume: {key} {tgt.shape} from scratch "
+                      f"(not in checkpoint)")
             continue
         src = loaded[key]
+        ax = _out_axis(key, tgt)
         if src.shape == tgt.shape:
-            out[key] = src
+            if resume_shift_neuron and "class_embed" in key:
+                moved = np.moveaxis(np.array(src), ax, 0)
+                shifted = moved.copy()
+                shifted[:-1] = moved[1:]
+                shifted[-2] = moved[0]
+                out[key] = np.ascontiguousarray(
+                    np.moveaxis(shifted, 0, ax)).astype(tgt.dtype)
+                if verbose:
+                    print(f"resume: {key} class neurons shifted so label 0 "
+                          f"sits at neuron 0")
+            else:
+                out[key] = src.astype(tgt.dtype)
             continue
+
+        val = None
+        if "norm" in key and src.ndim == 1:
+            val = np.tile(src, 2)
+        elif "self_attn" in key or "multihead_attn" in key:
+            val = np.tile(src, (2,) * src.ndim)
+        elif "reference_points" in key and \
+                src.shape[ax] * 2 == tgt.shape[ax]:
+            val = np.moveaxis(np.array(tgt), ax, 0)
+            val[:src.shape[ax]] = np.moveaxis(src, ax, 0)
+            val = np.moveaxis(val, 0, ax)
+        elif "linear1" in key or "query_embed" in key:
+            if verbose:
+                print(f"resume: {key} {tgt.shape} from scratch")
+            continue
+        elif "linear2" in key or "input_proj" in key:
+            reps = [1] * src.ndim
+            reps[ax] = 2
+            val = np.tile(src, reps)
+        elif "class_embed" in key and src.shape[ax] >= tgt.shape[ax]:
+            val = _take_out(src, ax, tgt.shape[ax])
+
+        if val is not None and val.shape == tgt.shape:
+            out[key] = val.astype(tgt.dtype)
+            if verbose:
+                print(f"resume: {key} {tgt.shape} adapted from "
+                      f"{src.shape}")
+            continue
+
+        # generic fallback (the reference raises NotImplementedError here)
         if all(s >= t for s, t in zip(src.shape, tgt.shape)):
             sl = tuple(slice(0, t) for t in tgt.shape)
-            out[key] = src[sl]
+            out[key] = src[sl].astype(tgt.dtype)
             if verbose:
                 print(f"resume: sliced {key} {src.shape} -> {tgt.shape}")
         elif all(s <= t for s, t in zip(src.shape, tgt.shape)):

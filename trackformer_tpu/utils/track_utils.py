@@ -96,6 +96,8 @@ def plot_sequence(tracks: Dict, seq, output_dir: str,
         fig, ax = plt.subplots(figsize=(w / 96, h / 96), dpi=96)
         ax.imshow(img)
         ax.axis("off")
+        attention_img = np.zeros((h, w, 4)) if generate_attention_maps \
+            else None
         for tid, track in tracks.items():
             if frame_idx not in track:
                 continue
@@ -115,7 +117,55 @@ def plot_sequence(tracks: Dict, seq, output_dir: str,
                 overlay = np.zeros((h, w, 4))
                 overlay[mask > 0] = (*color[:3], 0.4)
                 ax.imshow(overlay)
+            # attention overlay (reference :208-231): normalize the map,
+            # color pixels above 0.25 with the track color, alpha scaled
+            # by attention strength
+            if attention_img is not None \
+                    and "attention_map" in track[frame_idx]:
+                amap = np.asarray(track[frame_idx]["attention_map"],
+                                  np.float32)
+                amap = np.asarray(Image.fromarray(amap).resize(
+                    (w, h), Image.BILINEAR))
+                norm = amap / max(float(amap.max()), 1e-12)
+                hot = norm > 0.25
+                attention_img[hot] = color
+                attention_img[..., 3][hot] = norm[hot] * 0.5
+        if attention_img is not None:
+            ax.imshow(attention_img, vmin=0.0, vmax=1.0)
         fig.savefig(osp.join(output_dir,
                              osp.basename(blob["img_path"])),
                     bbox_inches="tight", pad_inches=0)
         plt.close(fig)
+
+
+def write_video(frame_dir: str, out_path: str, fps: float = 25.0) -> str:
+    """Stitch the frames written by `plot_sequence` into a video — the
+    reference README's `ffmpeg -i %06d.jpg` workflow as a function. Uses
+    the ffmpeg binary when present; falls back to an animated GIF (PIL)
+    since ffmpeg is not installed in every environment.
+
+    Returns the path actually written (extension may change to .gif).
+    """
+    import shutil
+    import subprocess
+
+    frames = sorted(p for p in os.listdir(frame_dir)
+                    if p.lower().endswith((".jpg", ".jpeg", ".png")))
+    if not frames:
+        raise ValueError(f"no frames in {frame_dir}")
+    if shutil.which("ffmpeg"):
+        subprocess.run(
+            ["ffmpeg", "-y", "-framerate", str(fps),
+             "-pattern_type", "glob",
+             "-i", osp.join(frame_dir, "*" + osp.splitext(frames[0])[1]),
+             "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path],
+            check=True)
+        return out_path
+    from PIL import Image
+    gif_path = osp.splitext(out_path)[0] + ".gif"
+    imgs = [Image.open(osp.join(frame_dir, f)).convert("P") for f in frames]
+    imgs[0].save(gif_path, save_all=True, append_images=imgs[1:],
+                 duration=int(1000 / fps), loop=0)
+    for im in imgs:
+        im.close()
+    return gif_path
