@@ -55,6 +55,160 @@ def bbox_head_bias_init(wh_bias: float):
     return init
 
 
+class _DecoderScanBody(nn.Module):
+    """One decoder layer (shared-head / no-refine form) for nn.scan:
+    reference points never change, so the reference input is broadcast and
+    the carry is just the query tensor. ys = per-layer hidden states."""
+    d_model: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    dim_feedforward: int
+    dropout: float
+    dtype: Any
+    attention: str
+    spatial_shapes: tuple
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, ref_input, memory, mask_flat,
+                 tgt_key_pad, src_pos):
+        out = DeformableDecoderLayer(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            self.dim_feedforward, self.dropout, self.dtype,
+            attention=self.attention, name="layer")(
+                tgt, query_pos, ref_input, memory, self.spatial_shapes,
+                mask_flat, tgt_key_pad, self.deterministic, src_pos=src_pos)
+        return out, out
+
+
+class _DecoderScanBodyRefine(nn.Module):
+    """One decoder layer + its (per-layer) class/box heads for nn.scan under
+    box refinement.
+
+    lax.scan needs a shape-invariant carry, but the reference's refinement
+    loop starts from 2-d (x, y) reference points and switches to 4-d boxes
+    after the first layer (deformable_transformer.py:389-414). The carry is
+    therefore always 4-d; on the first step (scanned `is_first` flag) the
+    2-d sampling semantics are reproduced exactly by a synthetic
+    wh = 2 * n_points / (H, W): the 4-d sampling formula
+    `ref_xy + offsets / p * wh * 0.5` then reduces to the 2-d formula
+    `ref_xy + offsets / (H, W)` (see MSDeformAttnModule), and the
+    first-step refinement adds inverse_sigmoid only to the xy components.
+    """
+    d_model: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    dim_feedforward: int
+    dropout: float
+    dtype: Any
+    attention: str
+    num_classes: int
+    wh_bias: float
+    spatial_shapes: tuple
+    deterministic: bool
+    started_2dim: bool
+
+    @nn.compact
+    def __call__(self, carry, is_first, query_pos, memory, mask_flat,
+                 tgt_key_pad, src_pos, valid_ratios):
+        out_t, ref = carry  # ref: (B, Q, 4) in sigmoid space
+        ri = decoder_reference_input(ref, valid_ratios)  # (B, Q, L, 4)
+        if self.started_2dim:
+            ri_xy = ref[:, :, None, :2] * valid_ratios[:, None]
+            wh_fake = 2.0 * self.n_points / jnp.asarray(
+                list(self.spatial_shapes), jnp.float32)  # (L, 2) = (h, w)
+            wh_fake = jnp.broadcast_to(wh_fake[None, None], ri_xy.shape)
+            ri = jnp.where(is_first,
+                           jnp.concatenate([ri_xy, wh_fake], -1), ri)
+        out_t = DeformableDecoderLayer(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            self.dim_feedforward, self.dropout, self.dtype,
+            attention=self.attention, name="layer")(
+                out_t, query_pos, ri, memory, self.spatial_shapes,
+                mask_flat, tgt_key_pad, self.deterministic, src_pos=src_pos)
+        cls_i = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                         bias_init=focal_class_bias_init(),
+                         name="class_embed")(out_t).astype(jnp.float32)
+        tmp = MLP(self.d_model, 4, 3, dtype=self.dtype, last_zero_init=True,
+                  last_bias_init=bbox_head_bias_init(self.wh_bias),
+                  name="bbox_embed")(out_t).astype(jnp.float32)
+        inv = inverse_sigmoid(ref)
+        tmp4 = tmp + inv
+        if self.started_2dim:
+            tmp4 = jnp.where(is_first, tmp.at[..., :2].add(inv[..., :2]),
+                             tmp4)
+        coord_i = jax.nn.sigmoid(tmp4)
+        new_ref = jax.lax.stop_gradient(coord_i)
+        return (out_t, new_ref), (cls_i, coord_i, out_t)
+
+
+class ScanDecoder(nn.Module):
+    """lax.scan over decoder layers (opt-in `tpu.scan_layers`): one traced
+    layer body instead of `num_layers` unrolled copies, ~6x smaller HLO.
+    Per-layer params are stacked on a leading axis (checkpoint bridge:
+    utils/checkpoint.py). Returns (hs, cls, coord) stacks; cls/coord are
+    None without box refinement (the caller applies its shared heads)."""
+    d_model: int
+    n_levels: int
+    num_layers: int
+    n_heads: int
+    n_points: int
+    dim_feedforward: int
+    dropout: float
+    dtype: Any
+    attention: str
+    num_classes: int
+    wh_bias: float
+    with_box_refine: bool
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, memory,
+                 spatial_shapes, valid_ratios, mask_flat=None,
+                 tgt_key_pad=None, deterministic=True, src_pos=None):
+        shapes = tuple(spatial_shapes)
+        if self.with_box_refine:
+            started2 = reference_points.shape[-1] == 2
+            ref4 = (jnp.concatenate(
+                [reference_points, jnp.zeros_like(reference_points)], -1)
+                if started2 else reference_points)
+            body_cls = (nn.remat(_DecoderScanBodyRefine) if self.remat
+                        else _DecoderScanBodyRefine)
+            body = nn.scan(
+                body_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(0,) + (nn.broadcast,) * 6, out_axes=0,
+                length=self.num_layers)(
+                    self.d_model, self.n_levels, self.n_heads,
+                    self.n_points, self.dim_feedforward, self.dropout,
+                    self.dtype, self.attention, self.num_classes,
+                    self.wh_bias, shapes, deterministic, started2,
+                    name="layers")
+            is_first = jnp.arange(self.num_layers) == 0
+            (_, _), (cls, coord, hs) = body(
+                (tgt, ref4), is_first[:, None, None, None], query_pos,
+                memory, mask_flat, tgt_key_pad, src_pos, valid_ratios)
+            return hs, cls, coord
+        ri = decoder_reference_input(reference_points, valid_ratios)
+        body_cls = (nn.remat(_DecoderScanBody) if self.remat
+                    else _DecoderScanBody)
+        body = nn.scan(
+            body_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast, out_axes=0,
+            length=self.num_layers)(
+                self.d_model, self.n_levels, self.n_heads, self.n_points,
+                self.dim_feedforward, self.dropout, self.dtype,
+                self.attention, shapes, deterministic, name="layers")
+        _, hs = body(tgt, query_pos, ri, memory, mask_flat, tgt_key_pad,
+                     src_pos)
+        return hs, None, None
+
+
 class InputProj(nn.Module):
     """1x1 (or 3x3 stride-2 for extra levels) conv + GroupNorm(32)."""
     hidden_dim: int
@@ -105,6 +259,11 @@ class DeformableDETR(nn.Module):
     # decoder cross-attention: 'msda' (parity) | 'dense' (full attention —
     # cheaper than gathers on the MXU at DETR query counts)
     decoder_attention: str = "msda"
+    # lax.scan over encoder/decoder layers (opt-in `tpu.scan_layers`):
+    # identical numerics, ~6x smaller HLO -> far faster compiles for the
+    # exact-MSDA mode. Per-layer params are stacked (utils/checkpoint.py
+    # bridges the two layouts).
+    scan_layers: bool = False
 
     @property
     def total_levels(self) -> int:
@@ -143,19 +302,37 @@ class DeformableDETR(nn.Module):
             self.encoder = DeformableEncoder(
                 self.hidden_dim, enc_levels, self.enc_layers, self.nheads,
                 self.enc_n_points, self.dim_feedforward, self.dropout,
-                self.dtype, self.remat)
+                self.dtype, self.remat, scan_layers=self.scan_layers)
 
-        self.decoder_layers = [
-            DeformableDecoderLayer(self.hidden_dim, self.total_levels,
-                                   self.nheads, self.dec_n_points,
-                                   self.dim_feedforward, self.dropout,
-                                   self.dtype,
-                                   attention=self.decoder_attention)
-            for _ in range(self.dec_layers)]
+        if not self.scan_layers:
+            self.decoder_layers = [
+                DeformableDecoderLayer(self.hidden_dim, self.total_levels,
+                                       self.nheads, self.dec_n_points,
+                                       self.dim_feedforward, self.dropout,
+                                       self.dtype,
+                                       attention=self.decoder_attention)
+                for _ in range(self.dec_layers)]
 
         num_pred = self.dec_layers + (1 if self.two_stage else 0)
         wh_bias = 0.0 if self.two_stage else -2.0
-        if self.with_box_refine:
+        if self.scan_layers:
+            self.dec_scan = ScanDecoder(
+                self.hidden_dim, self.total_levels, self.dec_layers,
+                self.nheads, self.dec_n_points, self.dim_feedforward,
+                self.dropout, self.dtype, self.decoder_attention,
+                self.num_classes, wh_bias, self.with_box_refine, self.remat)
+        if self.scan_layers and self.with_box_refine:
+            # per-layer heads live inside the scan body; only the two-stage
+            # encoder-proposal head (unrolled index num_pred-1) is separate
+            if self.two_stage:
+                self.enc_class_embed = nn.Dense(
+                    self.num_classes + 1, dtype=self.dtype,
+                    bias_init=focal_class_bias_init())
+                self.enc_bbox_embed = MLP(
+                    self.hidden_dim, 4, 3, dtype=self.dtype,
+                    last_zero_init=True,
+                    last_bias_init=bbox_head_bias_init(wh_bias))
+        elif self.with_box_refine:
             self.class_embed = [
                 nn.Dense(self.num_classes + 1, dtype=self.dtype,
                          bias_init=focal_class_bias_init())
@@ -226,6 +403,31 @@ class DeformableDETR(nn.Module):
             masks.append(mask)
             poses.append(self._level_pos(mask, frame_idx))
         return srcs, masks, poses
+
+    def _decoder_unrolled(self, tgt, query_pos, reference_points, memory,
+                          spatial_shapes, valid_ratios, mask_flat,
+                          tgt_key_pad, deterministic, pos_flat):
+        out_t = tgt
+        outputs_classes, outputs_coords, hs_list = [], [], []
+        for i, layer in enumerate(self.decoder_layers):
+            ref_input = decoder_reference_input(reference_points,
+                                                valid_ratios)
+            out_t = layer(out_t, query_pos, ref_input, memory,
+                          spatial_shapes, mask_flat, tgt_key_pad,
+                          deterministic, src_pos=pos_flat)
+            cls_i = self.class_embed[i](out_t).astype(jnp.float32)
+            tmp = self.bbox_embed[i](out_t).astype(jnp.float32)
+            if reference_points.shape[-1] == 4:
+                tmp = tmp + inverse_sigmoid(reference_points)
+            else:
+                tmp = tmp.at[..., :2].add(inverse_sigmoid(reference_points))
+            coord_i = jax.nn.sigmoid(tmp)
+            if self.with_box_refine:
+                reference_points = jax.lax.stop_gradient(coord_i)
+            outputs_classes.append(cls_i)
+            outputs_coords.append(coord_i)
+            hs_list.append(out_t)
+        return outputs_classes, outputs_coords, hs_list
 
     def __call__(self, batch: FrameBatch, targets: Optional[Targets] = None,
                  prev_features=None, deterministic: bool = True):
@@ -305,8 +507,14 @@ class DeformableDETR(nn.Module):
             out_mem, out_props = gen_encoder_output_proposals(
                 memory, mask_flat, spatial_shapes)
             out_mem = self.enc_output_norm(self.enc_output(out_mem))
-            enc_logits = self.class_embed[-1](out_mem).astype(jnp.float32)
-            enc_coords_unact = (self.bbox_embed[-1](out_mem).astype(jnp.float32)
+            if self.scan_layers and self.with_box_refine:
+                enc_cls_head, enc_box_head = (self.enc_class_embed,
+                                              self.enc_bbox_embed)
+            else:
+                enc_cls_head, enc_box_head = (self.class_embed[-1],
+                                              self.bbox_embed[-1])
+            enc_logits = enc_cls_head(out_mem).astype(jnp.float32)
+            enc_coords_unact = (enc_box_head(out_mem).astype(jnp.float32)
                                 + out_props)
             topk = self.num_queries
             _, topk_idx = jax.lax.top_k(enc_logits[..., 0], topk)
@@ -345,26 +553,28 @@ class DeformableDETR(nn.Module):
                 tgt_key_pad = ~query_valid
 
         # decoder with iterative refinement; heads shared with refinement
-        out_t = tgt
-        outputs_classes, outputs_coords, hs_list = [], [], []
-        for i, layer in enumerate(self.decoder_layers):
-            ref_input = decoder_reference_input(reference_points,
-                                                valid_ratios)
-            out_t = layer(out_t, query_pos, ref_input, memory,
-                          spatial_shapes, mask_flat, tgt_key_pad,
-                          deterministic, src_pos=pos_flat)
-            cls_i = self.class_embed[i](out_t).astype(jnp.float32)
-            tmp = self.bbox_embed[i](out_t).astype(jnp.float32)
-            if reference_points.shape[-1] == 4:
-                tmp = tmp + inverse_sigmoid(reference_points)
-            else:
-                tmp = tmp.at[..., :2].add(inverse_sigmoid(reference_points))
-            coord_i = jax.nn.sigmoid(tmp)
-            if self.with_box_refine:
-                reference_points = jax.lax.stop_gradient(coord_i)
-            outputs_classes.append(cls_i)
-            outputs_coords.append(coord_i)
-            hs_list.append(out_t)
+        if self.scan_layers:
+            hs_stack, cls_stack, coord_stack = self.dec_scan(
+                tgt, query_pos, reference_points, memory, spatial_shapes,
+                valid_ratios, mask_flat, tgt_key_pad, deterministic,
+                pos_flat)
+            if cls_stack is None:  # shared heads (no box refinement)
+                cls_stack = self.class_embed[0](hs_stack).astype(jnp.float32)
+                tmp = self.bbox_embed[0](hs_stack).astype(jnp.float32)
+                if reference_points.shape[-1] == 4:
+                    tmp = tmp + inverse_sigmoid(reference_points)[None]
+                else:
+                    tmp = tmp.at[..., :2].add(
+                        inverse_sigmoid(reference_points)[None])
+                coord_stack = jax.nn.sigmoid(tmp)
+            outputs_classes = [cls_stack[i] for i in range(self.dec_layers)]
+            outputs_coords = [coord_stack[i] for i in range(self.dec_layers)]
+            hs_list = [hs_stack[i] for i in range(self.dec_layers)]
+        else:
+            outputs_classes, outputs_coords, hs_list = self._decoder_unrolled(
+                tgt, query_pos, reference_points, memory, spatial_shapes,
+                valid_ratios, mask_flat, tgt_key_pad, deterministic,
+                pos_flat)
 
         hs = jnp.stack(hs_list)
         out = {

@@ -148,6 +148,30 @@ def encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]],
     return reference_points[:, :, None] * valid_ratios[:, None]
 
 
+class _EncoderScanBody(nn.Module):
+    """One encoder layer in (carry, *broadcast) -> (carry, None) form for
+    nn.scan. Static per-call context (spatial shapes, determinism) lives in
+    module fields so it never enters the scan as a traced value."""
+    d_model: int
+    n_levels: int
+    n_heads: int
+    n_points: int
+    dim_feedforward: int
+    dropout: float
+    dtype: Any
+    spatial_shapes: Tuple[Tuple[int, int], ...]
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, padding_mask):
+        out = DeformableEncoderLayer(
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            self.dim_feedforward, self.dropout, self.dtype, name="layer")(
+                src, pos, reference_points, self.spatial_shapes,
+                padding_mask, self.deterministic)
+        return out, None
+
+
 class DeformableEncoder(nn.Module):
     d_model: int
     n_levels: int
@@ -158,12 +182,31 @@ class DeformableEncoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     remat: bool = False
+    # lax.scan over layers: one traced/compiled layer body instead of
+    # `num_layers` unrolled copies (~6x smaller HLO; the remote-compiler
+    # hop makes graph size the compile-time driver on this setup). Params
+    # are stacked on a leading axis — see utils/checkpoint.py scan bridge.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, src, spatial_shapes, valid_ratios, pos=None,
                  padding_mask=None, deterministic=True):
         reference_points = encoder_reference_points(spatial_shapes,
                                                     valid_ratios)
+        if self.scan_layers:
+            body = nn.scan(
+                nn.remat(_EncoderScanBody) if self.remat
+                else _EncoderScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=nn.broadcast, out_axes=0,
+                length=self.num_layers)(
+                    self.d_model, self.n_levels, self.n_heads,
+                    self.n_points, self.dim_feedforward, self.dropout,
+                    self.dtype, tuple(spatial_shapes), deterministic,
+                    name="layers")
+            out, _ = body(src, pos, reference_points, padding_mask)
+            return out
         layer_cls = DeformableEncoderLayer
         if self.remat:
             layer_cls = nn.remat(DeformableEncoderLayer,

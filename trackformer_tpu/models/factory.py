@@ -89,6 +89,8 @@ def build_model(args) -> Tuple[Any, CriterionConfig, Dict, TrackingConfig]:
                                if tpu_cfg else "msda"),
             decoder_attention=(getattr(tpu_cfg, "decoder_attention", "msda")
                                if tpu_cfg else "msda"),
+            scan_layers=bool(getattr(tpu_cfg, "scan_layers", False)
+                             if tpu_cfg else False),
         )
         model = (DeformableDETRSegm(**kwargs, freeze_detr=args.freeze_detr)
                  if args.masks else DeformableDETR(**kwargs))

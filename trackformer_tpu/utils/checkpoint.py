@@ -48,6 +48,115 @@ def load_params_npz(path) -> Dict:
         return unflatten_params({k: data[k] for k in data.files})
 
 
+# Stacked (tpu.scan_layers) <-> unrolled per-layer key correspondence.
+# See models/deformable_transformer.py (encoder scan) and
+# models/deformable_detr.py ScanDecoder:
+#   encoder/layer_{i}/R        <-> encoder/layers/layer/R       (stack axis 0)
+#   decoder_layers_{i}/R       <-> dec_scan/layers/layer/R
+#   class_embed_{i}/R (i<L)    <-> dec_scan/layers/class_embed/R
+#   bbox_embed_{i}/R  (i<L)    <-> dec_scan/layers/bbox_embed/R
+#   class_embed_{L}/R          <-> enc_class_embed/R  (two-stage extra head)
+#   bbox_embed_{L}/R           <-> enc_bbox_embed/R
+_SCAN_PATTERNS = [
+    (r"^(?P<p>.*encoder/)layers/layer/(?P<r>.+)$", "{p}layer_{i}/{r}"),
+    (r"^(?P<p>.*?)dec_scan/layers/layer/(?P<r>.+)$",
+     "{p}decoder_layers_{i}/{r}"),
+    (r"^(?P<p>.*?)dec_scan/layers/(?P<h>class_embed|bbox_embed)/(?P<r>.+)$",
+     "{p}{h}_{i}/{r}"),
+]
+
+
+def _unrolled_key(stacked_key: str, index: int) -> Optional[str]:
+    import re
+    for pat, tmpl in _SCAN_PATTERNS:
+        m = re.match(pat, stacked_key)
+        if m:
+            return tmpl.format(i=index, **m.groupdict())
+    return None
+
+
+def bridge_scan_layout(loaded: Dict[str, np.ndarray],
+                       target: Dict[str, np.ndarray],
+                       verbose: bool = True) -> Dict[str, np.ndarray]:
+    """Convert between unrolled per-layer params (layer_0..layer_{L-1}) and
+    the stacked layout used by `tpu.scan_layers`, so checkpoints from either
+    model mode warm-start the other. Direction is inferred per key from
+    which side has the stacked name; everything else passes through."""
+    import re
+    out = dict(loaded)
+
+    # unrolled checkpoint -> stacked target key
+    def _leading_dim(v):
+        # target trees may hold ShapeDtypeStructs boxed in 0-d object arrays
+        if getattr(v, "dtype", None) == object and v.shape == ():
+            v = v.item()
+        shape = getattr(v, "shape", ())
+        return shape[0] if len(shape) else None
+
+    for key in target:
+        if key in out or _unrolled_key(key, 0) is None:
+            continue
+        n = 0
+        while _unrolled_key(key, n) in out:
+            n += 1
+        # the two-stage unrolled layout has one EXTRA head (index L, the
+        # encoder-proposal head) that must not join the stack
+        n_target = _leading_dim(target[key])
+        if n_target is not None:
+            n = min(n, n_target)
+        if n == 0:
+            continue
+        parts = [out[_unrolled_key(key, i)] for i in range(n)]
+        for i in range(n):
+            del out[_unrolled_key(key, i)]
+        out[key] = np.stack(parts)
+        if verbose:
+            print(f"resume: stacked {n} unrolled layers -> {key}")
+
+    # stacked checkpoint -> unrolled target keys
+    for skey in [k for k in out if _unrolled_key(k, 0) is not None]:
+        arr = out[skey]
+        wanted = [i for i in range(arr.shape[0])
+                  if _unrolled_key(skey, i) in target]
+        if not wanted:
+            continue
+        for i in wanted:
+            out[_unrolled_key(skey, i)] = arr[i]
+        del out[skey]
+        if verbose:
+            print(f"resume: unstacked {skey} -> {len(wanted)} layer keys")
+
+    # two-stage extra head: unrolled head index L <-> enc_{class,bbox}_embed
+    for key in target:
+        if key in out:
+            continue
+        m = re.match(r"^(?P<p>.*?)enc_(?P<h>class_embed|bbox_embed)/"
+                     r"(?P<r>.+)$", key)
+        if m:  # target stacked-mode, checkpoint unrolled: take max index
+            cands = []
+            for k in out:
+                km = re.match(
+                    rf"^{re.escape(m.group('p'))}{m.group('h')}_(\d+)/"
+                    rf"{re.escape(m.group('r'))}$", k)
+                if km:
+                    cands.append((int(km.group(1)), k))
+            if cands:
+                _, src = max(cands)
+                out[key] = out.pop(src)
+                if verbose:
+                    print(f"resume: {src} -> {key}")
+            continue
+        m = re.match(r"^(?P<p>.*?)(?P<h>class_embed|bbox_embed)_(?P<i>\d+)/"
+                     r"(?P<r>.+)$", key)
+        if m:  # target unrolled, checkpoint stacked-mode: extra head index
+            src = f"{m.group('p')}enc_{m.group('h')}/{m.group('r')}"
+            if src in out:
+                out[key] = out.pop(src)
+                if verbose:
+                    print(f"resume: {src} -> {key}")
+    return out
+
+
 def _out_axis(key: str, arr: np.ndarray) -> int:
     """Axis holding the torch 'dim 0' (output features) in our layout:
     kernels are (in, out) / HWIO, so it is the LAST axis; biases, scales
@@ -79,6 +188,7 @@ def adapt_params(loaded: Dict[str, np.ndarray],
     Unmatched mismatches fall back to generic slice/pad (and say so) — the
     reference raises NotImplementedError there instead.
     """
+    loaded = bridge_scan_layout(loaded, target, verbose=verbose)
     out = dict(target)
     for key, tgt in target.items():
         if key not in loaded:
