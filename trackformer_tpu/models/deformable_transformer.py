@@ -93,7 +93,10 @@ class MSDeformAttnModule(nn.Module):
                    + offsets / p * reference_points[:, :, None, :, None, 2:]
                    * 0.5)
 
-        out = ms_deform_attn(value.astype(jnp.float32),
+        # value stays in the compute dtype: bf16 rows gather ~2.5x faster
+        # than f32 (half the bytes/row) and the weighted sum accumulates in
+        # f32 inside the op; locations/weights stay f32 for index math
+        out = ms_deform_attn(value,
                              tuple(spatial_shapes),
                              loc.astype(jnp.float32),
                              attn.astype(jnp.float32)).astype(self.dtype)
