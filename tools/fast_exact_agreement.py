@@ -1,0 +1,205 @@
+"""Bound the fidelity of the TPU-fast approximation (windowed encoder)
+against the exact-MSDA reference semantics (VERDICT r1 item 9).
+
+The windowed encoder is a differently-parameterized TPU-native architecture,
+so same-weights output deltas are not defined; agreement is functional:
+train BOTH modes from scratch on the same synthetic detection task with an
+identical budget, then report
+
+  * exact_map / fast_map  — COCO AP@[.5:.95] of each mode on held-out scenes
+  * cross_agreement_map   — AP of the fast model's detections scored against
+                            the exact model's detections as pseudo-GT
+                            (direct output agreement on identical inputs)
+
+Writes AGREEMENT.json at the repo root; bench.py folds it into the headline
+JSON as `fast_vs_exact_agreement`.
+
+Run on CPU: PYTHONPATH= JAX_PLATFORMS=cpu python tools/fast_exact_agreement.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 350
+H, W = 96, 128
+N_TRAIN, N_EVAL = 24, 16
+BATCH = 4
+
+
+def make_scene(rng, n_max=4):
+    img = rng.normal(0.0, 0.3, (H, W, 3)).astype(np.float32)
+    n = rng.randint(1, n_max + 1)
+    boxes = []
+    for _ in range(n):
+        bw, bh = rng.randint(18, 40), rng.randint(18, 40)
+        x = rng.randint(0, W - bw)
+        y = rng.randint(0, H - bh)
+        img[y:y + bh, x:x + bw] += rng.uniform(1.0, 2.0) * np.array(
+            rng.uniform(0.4, 1.0, 3), np.float32)
+        boxes.append([x, y, bw, bh])
+    return img, np.array(boxes, np.float32)
+
+
+def to_targets(boxes_list, max_obj=6):
+    import jax.numpy as jnp
+    from trackformer_tpu.structures import empty_targets
+    b = len(boxes_list)
+    t = empty_targets(b, max_obj)
+    valid = np.zeros((b, max_obj), bool)
+    labels = np.zeros((b, max_obj), np.int32)
+    out = np.zeros((b, max_obj, 4), np.float32)
+    for i, bx in enumerate(boxes_list):
+        n = min(len(bx), max_obj)
+        valid[i, :n] = True
+        cx = (bx[:n, 0] + bx[:n, 2] / 2) / W
+        cy = (bx[:n, 1] + bx[:n, 3] / 2) / H
+        out[i, :n] = np.stack([cx, cy, bx[:n, 2] / W, bx[:n, 3] / H], -1)
+    return t.replace(valid=jnp.asarray(valid), labels=jnp.asarray(labels),
+                     boxes=jnp.asarray(out))
+
+
+def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
+    import jax
+    import jax.numpy as jnp
+    from trackformer_tpu.engine import (TrainState, make_optimizer,
+                                        make_train_step)
+    from trackformer_tpu.models import build_model
+    from trackformer_tpu.structures import FrameBatch
+    from trackformer_tpu.utils.config import load_config, nested_namespace
+
+    over = {
+        "enc_layers": 2, "dec_layers": 2, "hidden_dim": 96, "nheads": 4,
+        "dim_feedforward": 128, "num_queries": 12, "dataset": "mot",
+        "aux_loss": True, "lr": 4e-4, "lr_backbone": 4e-4, "dropout": 0.0,
+        "tpu.encoder_attention": ("windowed" if mode == "fast" else "msda"),
+        "tpu.decoder_attention": "msda",
+    }
+    cfg = load_config("train.yaml", ["deformable"], over)
+    cfg["tpu"]["compute_dtype"] = "float32"
+    cfg["tpu"]["remat"] = False
+    args = nested_namespace(cfg)
+    args.lr_drop_steps = [int(STEPS * 0.8)]
+    model, crit_cfg, post, _ = build_model(args)
+
+    rng = jax.random.PRNGKey(seed)
+    imgs0 = jnp.asarray(np.stack([s[0] for s in train_scenes[:BATCH]]))
+    batch0 = FrameBatch.from_images(imgs0, jnp.array([[H, W]] * BATCH))
+    params = jax.jit(model.init)(rng, batch0)
+    opt = make_optimizer(args, params)
+    state = TrainState.create(params, opt)
+    step = jax.jit(make_train_step(model, crit_cfg, opt, tracking=False))
+
+    order = np.random.RandomState(seed + 1)
+    losses = []
+    for it in range(STEPS):
+        idx = order.choice(len(train_scenes), BATCH, replace=False)
+        imgs = jnp.asarray(np.stack([train_scenes[i][0] for i in idx]))
+        targets = to_targets([train_scenes[i][1] for i in idx])
+        pack = {"batch": FrameBatch.from_images(
+            imgs, jnp.array([[H, W]] * BATCH)), "targets": targets}
+        state, metrics = step(state, pack, jax.random.PRNGKey(it))
+        losses.append(float(metrics["loss"]))
+    print(f"{mode}: loss {np.mean(losses[:10]):.3f} -> "
+          f"{np.mean(losses[-10:]):.3f}", flush=True)
+
+    # held-out predictions
+    fwd = jax.jit(lambda p, b: post["bbox"](
+        model.apply(p, b, None, deterministic=True)[0],
+        jnp.array([[H, W]] * len(eval_scenes))))
+    imgs = jnp.asarray(np.stack([s[0] for s in eval_scenes]))
+    res = fwd(state.params,
+              FrameBatch.from_images(imgs, jnp.array([[H, W]] * len(
+                  eval_scenes))))
+    return ({i: {"boxes": np.asarray(res["boxes"][i]),
+                 "scores": np.asarray(res["scores"][i]),
+                 "labels": np.asarray(res["labels"][i])}
+             for i in range(len(eval_scenes))}, losses)
+
+
+def eval_map(preds, gt_by_img):
+    """AP@[.5:.95] via the in-repo evaluator against a minimal GT facade."""
+    from trackformer_tpu.datasets.coco_eval import CocoEvaluator
+
+    class GT:
+        pass
+
+    gt = GT()
+    gt.anns_by_image = gt_by_img
+    gt.images = {i: {"height": H, "width": W} for i in gt_by_img}
+    ev = CocoEvaluator(gt, ["bbox"])
+    ev.update(preds)
+    stats = ev.summarize()
+    return float(stats["bbox"][0]), float(stats["bbox"][1])
+
+
+def boxes_to_anns(scenes):
+    out = {}
+    aid = 0
+    for i, (_, boxes) in enumerate(scenes):
+        anns = []
+        for b in boxes:
+            anns.append({"id": aid, "image_id": i, "category_id": 0,
+                         "bbox": [float(v) for v in b],
+                         "area": float(b[2] * b[3]), "iscrowd": 0,
+                         "ignore": 0})
+            aid += 1
+        out[i] = anns
+    return out
+
+
+def preds_to_anns(preds, score_thresh=0.5):
+    out = {}
+    aid = 0
+    for i, p in preds.items():
+        anns = []
+        keep = p["scores"] >= score_thresh
+        for b in p["boxes"][keep]:
+            x0, y0, x1, y1 = [float(v) for v in b]
+            anns.append({"id": aid, "image_id": i, "category_id": 0,
+                         "bbox": [x0, y0, x1 - x0, y1 - y0],
+                         "area": float((x1 - x0) * (y1 - y0)),
+                         "iscrowd": 0, "ignore": 0})
+            aid += 1
+        out[i] = anns
+    return out
+
+
+def main():
+    rng = np.random.RandomState(0)
+    train_scenes = [make_scene(rng) for _ in range(N_TRAIN)]
+    eval_scenes = [make_scene(rng) for _ in range(N_EVAL)]
+    gt = boxes_to_anns(eval_scenes)
+
+    exact_preds, exact_losses = train_and_eval("exact", train_scenes,
+                                               eval_scenes)
+    fast_preds, fast_losses = train_and_eval("fast", train_scenes,
+                                             eval_scenes)
+
+    exact_ap, exact_ap50 = eval_map(exact_preds, gt)
+    fast_ap, fast_ap50 = eval_map(fast_preds, gt)
+    cross_ap, cross_ap50 = eval_map(fast_preds, preds_to_anns(exact_preds))
+    result = {
+        "task": (f"synthetic {W}x{H} rectangle detection, {N_TRAIN} train /"
+                 f" {N_EVAL} held-out scenes, {STEPS} steps each mode"),
+        "exact_map": round(exact_ap, 4),
+        "fast_map": round(fast_ap, 4),
+        "exact_ap50": round(exact_ap50, 4),
+        "fast_ap50": round(fast_ap50, 4),
+        "cross_agreement_map": round(cross_ap, 4),
+        "cross_agreement_ap50": round(cross_ap50, 4),
+        "exact_final_loss": round(float(np.mean(exact_losses[-10:])), 4),
+        "fast_final_loss": round(float(np.mean(fast_losses[-10:])), 4),
+    }
+    out = Path(__file__).resolve().parent.parent / "AGREEMENT.json"
+    out.write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -264,10 +264,24 @@ class DeformableDETR(nn.Module):
     # exact-MSDA mode. Per-layer params are stacked (utils/checkpoint.py
     # bridges the two layouts).
     scan_layers: bool = False
+    # Opt-in `tpu.cached_prev_memory`: in multi-frame separate-encoder mode,
+    # encode only the CURRENT frame and reuse the previous step's encoded
+    # memory as the prev half — halves encoder cost at inference. Requires
+    # frame-symmetric token encoding (shared level embeds + frame-0 pos for
+    # both halves); frame identity is restored AFTER the encoder by a
+    # learned per-frame embedding added to the memory, so the cached half
+    # is frame-agnostic and exactly reusable.
+    cached_prev_memory: bool = False
 
     @property
     def total_levels(self) -> int:
         return self.num_feature_levels * (2 if self.multi_frame_attention else 1)
+
+    @property
+    def _cached_mode(self) -> bool:
+        return (self.cached_prev_memory and self.multi_frame_attention
+                and self.multi_frame_attention_separate_encoder
+                and not self.merge_frame_features)
 
     def setup(self):
         self.backbone = Backbone(self.backbone_name, self.dilation,
@@ -288,6 +302,10 @@ class DeformableDETR(nn.Module):
         self.level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0),
             (self.total_levels, self.hidden_dim))
+        if self._cached_mode:
+            self.frame_embed = self.param(
+                "frame_embed", nn.initializers.normal(1.0),
+                (2, self.hidden_dim))
 
         enc_levels = (self.total_levels // 2
                       if (self.multi_frame_attention
@@ -444,6 +462,52 @@ class DeformableDETR(nn.Module):
             prev3 = [p[0] for p in prev_pairs]
             prev3_masks = [p[1] for p in prev_pairs]
 
+        b = batch.batch_size
+        c = self.hidden_dim
+
+        if self._cached_mode:
+            # encode ONLY the current frame, frame-symmetrically (frame-0
+            # pos + first-half level embeds for both halves); reuse the
+            # previous step's cached memory as the prev half and restore
+            # frame identity with a post-encoder frame embedding
+            srcs, masks, poses = self._project_frame(cur3, cur3_masks, prev3,
+                                                     batch.mask, 0)
+            half_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+            spatial_shapes = half_shapes * 2
+            src_flat_h = jnp.concatenate(
+                [s.reshape(b, -1, c) for s in srcs], axis=1)
+            mask_half = jnp.concatenate(
+                [m.reshape(b, -1) for m in masks], axis=1)
+            pos_half = jnp.concatenate(
+                [(p.reshape(b, -1, c)
+                  + self.level_embed[i][None, None].astype(self.dtype))
+                 for i, p in enumerate(poses)], axis=1)
+            vr_half = jnp.stack([get_valid_ratio(m) for m in masks], axis=1)
+            if self.encoder_attention == "windowed":
+                poses_wl = [
+                    (p + self.level_embed[i][None, None, None].astype(
+                        self.dtype)) for i, p in enumerate(poses)]
+                cur_memory = self.encoder(srcs, masks, poses_wl,
+                                          deterministic)
+            else:
+                cur_memory = self.encoder(src_flat_h, half_shapes, vr_half,
+                                          pos_half, mask_half, deterministic)
+            if prev_features is not None:
+                prev_memory = prev_features[-1][0].astype(cur_memory.dtype)
+            else:
+                prev_memory = cur_memory
+            fe = self.frame_embed.astype(self.dtype)
+            memory = jnp.concatenate(
+                [cur_memory + fe[1][None, None],
+                 prev_memory + fe[0][None, None]], axis=1)
+            mask_flat = jnp.concatenate([mask_half, mask_half], axis=1)
+            pos_flat = jnp.concatenate([pos_half, pos_half], axis=1)
+            valid_ratios = jnp.concatenate([vr_half, vr_half], axis=1)
+            feature_pairs = feature_pairs + [(cur_memory, mask_half)]
+            return self._decode(batch, targets, deterministic, memory,
+                                spatial_shapes, mask_flat, pos_flat,
+                                valid_ratios, feature_pairs)
+
         if self.multi_frame_attention:
             frame_sets = [(prev3, prev3_masks, 0), (cur3, cur3_masks, 1)]
         else:
@@ -459,8 +523,6 @@ class DeformableDETR(nn.Module):
 
         # flatten levels (deformable_transformer.py:136-157)
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
-        b = batch.batch_size
-        c = self.hidden_dim
         src_flat = jnp.concatenate(
             [s.reshape(b, -1, c) for s in srcs], axis=1)
         mask_flat = jnp.concatenate([m.reshape(b, -1) for m in masks], axis=1)
@@ -501,6 +563,14 @@ class DeformableDETR(nn.Module):
             memory = self.encoder(src_flat, spatial_shapes, valid_ratios,
                                   pos_flat, mask_flat, deterministic)
 
+        return self._decode(batch, targets, deterministic, memory,
+                            spatial_shapes, mask_flat, pos_flat,
+                            valid_ratios, feature_pairs)
+
+    def _decode(self, batch, targets, deterministic, memory, spatial_shapes,
+                mask_flat, pos_flat, valid_ratios, feature_pairs):
+        b = batch.batch_size
+        c = self.hidden_dim
         # decoder inputs
         enc_outputs = None
         if self.two_stage:

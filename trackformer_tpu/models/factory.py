@@ -91,6 +91,9 @@ def build_model(args) -> Tuple[Any, CriterionConfig, Dict, TrackingConfig]:
                                if tpu_cfg else "msda"),
             scan_layers=bool(getattr(tpu_cfg, "scan_layers", False)
                              if tpu_cfg else False),
+            cached_prev_memory=bool(
+                getattr(tpu_cfg, "cached_prev_memory", False)
+                if tpu_cfg else False),
         )
         model = (DeformableDETRSegm(**kwargs, freeze_detr=args.freeze_detr)
                  if args.masks else DeformableDETR(**kwargs))
