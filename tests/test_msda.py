@@ -111,3 +111,31 @@ def test_zero_outside_unit_square():
     out = np.asarray(ms_deform_attn(jnp.array(value), SHAPES,
                                     jnp.array(loc), jnp.array(attn)))
     np.testing.assert_allclose(out, 0.0, atol=1e-7)
+
+
+def test_dense_and_gather_paths_identical():
+    """The hybrid op's two executions (dense separable-bilinear matmul vs
+    flat row-gather) must agree exactly, forward and backward, including
+    out-of-bounds sampling locations (make_inputs draws in [-0.2, 1.2])."""
+    value, loc, attn = make_inputs(seed=7)
+    args = (jnp.array(value), jnp.array(loc), jnp.array(attn))
+
+    def run(budget, v, l, a):
+        return ms_deform_attn(v, SHAPES, l, a, dense_cell_budget=budget)
+
+    dense = run(10**9, *args)   # every level dense
+    gather = run(0, *args)      # every level gathered
+    mixed = run(LQ * M * SHAPES[1][0] * SHAPES[1][1], *args)  # split
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gather),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mixed), np.asarray(gather),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(budget, v, l, a):
+        return jnp.sum(run(budget, v, l, a) ** 2)
+
+    g_dense = jax.grad(loss, argnums=(1, 2, 3))(10**9, *args)
+    g_gather = jax.grad(loss, argnums=(1, 2, 3))(0, *args)
+    for gd, gg in zip(g_dense, g_gather):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gg),
+                                   rtol=1e-4, atol=1e-6)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 
 def _corner_indices_weights(spatial_shapes, sampling_locations,
-                            attention_weights):
+                            attention_weights, levels=None):
     """Global row indices + folded weights for all (level, point, corner)
     samples.
 
@@ -42,6 +42,10 @@ def _corner_indices_weights(spatial_shapes, sampling_locations,
     of N*M*S rows, and weights of the same shape (bilinear corner weight *
     attention weight * in-bounds mask). Index layout: row (n, m, s) ->
     (n * M + m) * S + level_offset + y * W + x.
+
+    `levels` restricts the build to a subset of level indices (the L axis of
+    the result then has len(levels) entries); offsets still span ALL levels
+    so indices stay valid in the full flat table.
     """
     n, lq, m, l, p, _ = sampling_locations.shape
     s_total = sum(h * w for h, w in spatial_shapes)
@@ -49,6 +53,9 @@ def _corner_indices_weights(spatial_shapes, sampling_locations,
     idx_levels, w_levels = [], []
     offset = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
+        if levels is not None and lvl not in levels:
+            offset += h * w
+            continue
         loc = sampling_locations[:, :, :, lvl]  # (N, Lq, M, P, 2)
         # grid_sample(align_corners=False): x = loc_x * W - 0.5
         x = loc[..., 0] * w - 0.5
@@ -83,46 +90,107 @@ def _corner_indices_weights(spatial_shapes, sampling_locations,
     return idx, weights
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+def _dense_level_out(value_l, loc_l, attn_l, h, w):
+    """EXACT MSDA contribution of ONE level as a dense separable-bilinear
+    weight matmul — no gather.
+
+    For integer cell coords s, the bilinear corner weights are exactly
+    wx(sx) = max(0, 1 - |x - sx|) (and likewise wy): the two corners
+    floor(x)/floor(x)+1 receive (1-dx)/dx and every other cell 0, with
+    out-of-bounds corners naturally unrepresented. So
+    out[q,m] = sum_p attn_p * wy_p^T V wx_p, built as one small weight
+    tensor on the VPU and one matmul on the MXU. Beats the gather when
+    Lq*M*H*W is small (coarse decoder levels): gather rows are uniform
+    across levels (Lq*M*P*4 each) while dense cost scales with the cell
+    count.
+
+    value_l (N, H*W, M, D); loc_l (N, Lq, M, P, 2); attn_l (N, Lq, M, P)
+    -> (N, Lq, M, D) float32.
+    """
+    x = loc_l[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc_l[..., 1].astype(jnp.float32) * h - 0.5
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(
+        x[..., None] - jnp.arange(w, dtype=jnp.float32)))  # (N,Lq,M,P,W)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(
+        y[..., None] - jnp.arange(h, dtype=jnp.float32)))  # (N,Lq,M,P,H)
+    wy = wy * attn_l[..., None].astype(jnp.float32)
+    w_full = jnp.einsum("nqmph,nqmpw->nqmhw", wy, wx)
+    n, lq, m, _, _ = w_full.shape
+    w_full = w_full.reshape(n, lq, m, h * w).astype(value_l.dtype)
+    return jnp.einsum("nqms,nsmd->nqmd", w_full, value_l,
+                      preferred_element_type=jnp.float32)
+
+
+# dense path for a level when Lq*M*cells is below this budget (measured on
+# v5e: the decoder's coarse levels win big, the finest level and every
+# encoder level — where Lq is the full token count — stay on the gather)
+DENSE_CELL_BUDGET = 32_000_000
+
+
+@functools.partial(jax.jit, static_argnums=(1,),
+                   static_argnames=("dense_cell_budget",))
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Tuple[Tuple[int, int], ...],
                    sampling_locations: jnp.ndarray,
-                   attention_weights: jnp.ndarray) -> jnp.ndarray:
+                   attention_weights: jnp.ndarray,
+                   *, dense_cell_budget: int = DENSE_CELL_BUDGET
+                   ) -> jnp.ndarray:
     """Multi-scale deformable attention core (see module docstring).
 
-    All (batch, head, level, point, corner) samples are fused into ONE flat
-    row-gather — the layout XLA:TPU lowers to its fastest gather path — with
-    the bilinear/attention weighting fused into the gather consumer.
+    Hybrid execution, numerics identical either way: levels whose
+    Lq*M*H*W fits `dense_cell_budget` are computed as dense
+    separable-bilinear matmuls (`_dense_level_out`); the rest are fused
+    into ONE flat row-gather — the layout XLA:TPU lowers to its fastest
+    gather path — with the bilinear/attention weighting in the gather
+    consumer.
     """
     n, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
     assert l == len(spatial_shapes), (l, spatial_shapes)
     assert s == sum(h * w for h, w in spatial_shapes)
 
-    idx, weights = _corner_indices_weights(
-        spatial_shapes, sampling_locations, attention_weights)
-    k = l * p * 4
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
-    value_nm = value.transpose(0, 2, 1, 3)  # (N, M, S, D)
+    dense_levels = [i for i, (h, w) in enumerate(spatial_shapes)
+                    if lq * m * h * w <= dense_cell_budget]
+    gather_levels = [i for i in range(l) if i not in dense_levels]
 
-    # Gather per batch item: gather throughput degrades sharply with table
-    # size (HBM locality), so keep each table at (M*S, D) instead of one
-    # (N*M*S, D) mega-table. N is small and static.
-    outs = []
-    per_item = m * s
-    for i in range(n):
-        table = value_nm[i].reshape(per_item, d)
-        idx_i = idx[i].reshape(-1, 1) - i * per_item
-        g = jax.lax.gather(
-            table, idx_i, dn, slice_sizes=(1, d),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-        g = g.reshape(lq, m, k, d)
-        outs.append(jnp.einsum(
-            "qmk,qmkd->qmd", weights[i].reshape(lq, m, k).astype(value.dtype),
-            g, preferred_element_type=jnp.float32))
-    out = jnp.stack(outs)
-    return out.astype(value.dtype).reshape(n, lq, m * d)
+    acc = jnp.zeros((n, lq, m, d), jnp.float32)
+    offset = 0
+    for i, (h, w) in enumerate(spatial_shapes):
+        if i in dense_levels:
+            acc = acc + _dense_level_out(
+                value[:, offset:offset + h * w],
+                sampling_locations[:, :, :, i],
+                attention_weights[:, :, :, i], h, w)
+        offset += h * w
+
+    if gather_levels:
+        idx, weights = _corner_indices_weights(
+            spatial_shapes, sampling_locations, attention_weights,
+            levels=gather_levels)
+        k = len(gather_levels) * p * 4
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,))
+        value_nm = value.transpose(0, 2, 1, 3)  # (N, M, S, D)
+
+        # Gather per batch item: gather throughput degrades sharply with
+        # table size (HBM locality), so keep each table at (M*S, D) instead
+        # of one (N*M*S, D) mega-table. N is small and static.
+        outs = []
+        per_item = m * s
+        for i in range(n):
+            table = value_nm[i].reshape(per_item, d)
+            idx_i = idx[i].reshape(-1, 1) - i * per_item
+            g = jax.lax.gather(
+                table, idx_i, dn, slice_sizes=(1, d),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+            g = g.reshape(lq, m, k, d)
+            outs.append(jnp.einsum(
+                "qmk,qmkd->qmd",
+                weights[i].reshape(lq, m, k).astype(value.dtype),
+                g, preferred_element_type=jnp.float32))
+        acc = acc + jnp.stack(outs)
+    return acc.astype(value.dtype).reshape(n, lq, m * d)
 
 
 def ms_deform_attn_reference(value: jnp.ndarray,
