@@ -25,7 +25,7 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed():
+def _launch_workers():
     port = _free_port()
     env_base = dict(os.environ)
     env_base["JAX_PLATFORMS"] = "cpu"
@@ -53,6 +53,17 @@ def test_two_process_distributed():
         p.wait(timeout=850)
         logs[pid].close()
         outs.append(Path(f"/tmp/mh_worker{pid}.log").read_text())
+    return procs, outs
+
+
+def test_two_process_distributed():
+    # the cross-process collectives can abort when a CPU-starved worker
+    # misses a rendezvous window (seen under full-suite load); one retry on
+    # a fresh port keeps the check meaningful without being flaky
+    for attempt in range(2):
+        procs, outs = _launch_workers()
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"[{pid}] allgather_objects OK" in out

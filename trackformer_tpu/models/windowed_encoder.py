@@ -58,6 +58,35 @@ def window_merge(x: jnp.ndarray, b: int, h: int, w: int, win: int):
     return x.reshape(b, h, w, c)
 
 
+def window_context(poses: List[jnp.ndarray], masks: List[jnp.ndarray],
+                   win: int, shift: bool, dtype):
+    """Window layout of positions + key-padding for one shift parity.
+
+    Positions and masks are layer-invariant, so the encoder computes this
+    ONCE per parity (2 layouts for 6 layers) instead of per layer — the
+    per-level roll/pad/partition chains are pure small-op latency.
+    """
+    sh = win // 2 if shift else 0
+    pw_all, kp_all = [], []
+    for p, m in zip(poses, masks):
+        b, h0, w0, _ = p.shape
+        if sh:
+            p = jnp.roll(p, (-sh, -sh), axis=(1, 2))
+        p, hp, wp = _pad_hw(p, win)
+        mf = m[..., None].astype(jnp.float32)
+        if sh:
+            mf = jnp.roll(mf, (-sh, -sh), axis=(1, 2))
+        mf = jnp.pad(mf, ((0, 0), (0, hp - h0), (0, wp - w0), (0, 0)),
+                     constant_values=1.0)
+        kp_all.append(window_partition(mf, win)[..., 0] > 0.5)
+        pw_all.append(window_partition(p.astype(dtype), win))
+    pw = jnp.concatenate(pw_all, axis=0)
+    kp = jnp.concatenate(kp_all, axis=0)
+    # fully-padded windows would make softmax degenerate; un-mask them
+    all_pad = jnp.all(kp, axis=1, keepdims=True)
+    return pw, kp & ~all_pad
+
+
 class WindowedEncoderLayer(nn.Module):
     """One shared-weight layer over ALL levels: single fused attention call
     on the concatenation of every level's windows, FFN on flat tokens."""
@@ -71,37 +100,25 @@ class WindowedEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray], poses: List[jnp.ndarray],
-                 masks: List[jnp.ndarray],
-                 deterministic: bool = True) -> List[jnp.ndarray]:
+                 masks: List[jnp.ndarray], deterministic: bool = True,
+                 ctx=None) -> List[jnp.ndarray]:
         win = self.window
         sh = win // 2 if self.shift else 0
         shapes = [x.shape for x in levels]
+        if ctx is None:
+            ctx = window_context(poses, masks, win, self.shift, self.dtype)
+        pw, kp = ctx
 
-        xw_all, pw_all, kp_all, meta = [], [], [], []
-        for x, p, m in zip(levels, poses, masks):
+        xw_all, meta = [], []
+        for x in levels:
             b, h0, w0, _ = x.shape
             if sh:
                 x = jnp.roll(x, (-sh, -sh), axis=(1, 2))
-                p = jnp.roll(p, (-sh, -sh), axis=(1, 2))
             x, hp, wp = _pad_hw(x, win)
-            p, _, _ = _pad_hw(p, win)
-            mf = m[..., None].astype(jnp.float32)
-            if sh:
-                mf = jnp.roll(mf, (-sh, -sh), axis=(1, 2))
-            mf = jnp.pad(mf, ((0, 0), (0, hp - h0), (0, wp - w0), (0, 0)),
-                         constant_values=1.0)
-            kp = window_partition(mf, win)[..., 0] > 0.5  # (BW, win*win)
             xw_all.append(window_partition(x, win))
-            pw_all.append(window_partition(p.astype(x.dtype), win))
-            kp_all.append(kp)
             meta.append((b, h0, w0, hp, wp, xw_all[-1].shape[0]))
 
         xw = jnp.concatenate(xw_all, axis=0)   # (sum_nwin, win^2, C)
-        pw = jnp.concatenate(pw_all, axis=0)
-        kp = jnp.concatenate(kp_all, axis=0)
-        # fully-padded windows would make softmax degenerate; un-mask them
-        all_pad = jnp.all(kp, axis=1, keepdims=True)
-        kp = kp & ~all_pad
 
         q = xw + pw
         attn = MultiHeadAttention(self.d_model, self.nheads, self.dropout,
@@ -183,12 +200,17 @@ class WindowedEncoder(nn.Module):
                  poses: Sequence[jnp.ndarray],
                  deterministic: bool = True) -> jnp.ndarray:
         levels = list(srcs)
+        ctxs = {
+            shift: window_context(list(poses), list(masks), self.window,
+                                  shift, self.dtype)
+            for shift in ({bool(li % 2) for li in range(self.num_layers)})}
         for li in range(self.num_layers):
             levels = WindowedEncoderLayer(
                 self.d_model, self.nheads, self.dim_feedforward,
                 self.dropout, self.window, shift=bool(li % 2),
                 dtype=self.dtype, name=f"layer_{li}")(
-                    levels, list(poses), list(masks), deterministic)
+                    levels, list(poses), list(masks), deterministic,
+                    ctx=ctxs[bool(li % 2)])
             levels = CrossLevelFusion(self.d_model, dtype=self.dtype,
                                       name=f"fuse_{li}")(levels)
         b = levels[0].shape[0]
