@@ -324,6 +324,8 @@ def load_reference():
                                REF / "models" / "deformable_detr.py")
     ns.detr_tracking = _load("ref_trackformer.models.detr_tracking",
                              REF / "models" / "detr_tracking.py")
+    ns.detr_segmentation = _load("ref_trackformer.models.detr_segmentation",
+                                 REF / "models" / "detr_segmentation.py")
     ns.tracker = _load("ref_trackformer.models.tracker",
                        REF / "models" / "tracker.py")
     _cache["ns"] = ns

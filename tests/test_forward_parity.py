@@ -176,3 +176,113 @@ def test_deformable_detr_track_query_parity():
         ["deformable"], {"num_queries": 12, "nheads": 8}, "mot", 20,
         track_queries=5)
     assert_match(ref_out, out, atol=1e-3)
+
+
+def test_deformable_two_stage_forward_parity():
+    """Two-stage + box refine (reference deformable_detr.py:109-113,
+    deformable_transformer.py:92-122,181-194): encoder proposals, pos_trans
+    query generation, per-layer refinement heads and the enc_outputs head."""
+    # hidden_dim 256: the reference's get_proposal_pos_embed hardcodes
+    # 128 pos feats (deformable_transformer.py:77-90), so its two-stage
+    # only shape-checks at d_model 256
+    ref_out, out = run_pair(
+        ["deformable"],
+        {"num_queries": 12, "nheads": 8, "hidden_dim": 256,
+         "two_stage": True, "with_box_refine": True}, "mot", 20)
+    assert_match(ref_out, out, atol=2e-3)
+    ref_enc = ref_out["enc_outputs"]
+    ours_enc = out["enc_outputs"]
+    for key in ("pred_logits", "pred_boxes"):
+        np.testing.assert_allclose(
+            np.asarray(ours_enc[key]), ref_enc[key].detach().cpu().numpy(),
+            atol=2e-3, rtol=1e-3, err_msg=f"enc_outputs.{key}")
+
+
+def test_deformable_multi_frame_prev_features_parity():
+    """Multi-frame separate-encoder path with REAL prev-frame features
+    (reference deformable_transformer.py:160-173 + deformable_detr.py
+    :149-221): frame t-1 backbone features are fed as extra levels with 3D
+    frame encoding, each frame encoded by its own encoder pass."""
+    ns = load_reference()
+    args = make_args(["deformable", "multi_frame"],
+                     {"num_queries": 12, "nheads": 8, "hidden_dim": 96,
+                      "dataset": "mot"})
+    torch.manual_seed(11)
+    ref_model = build_reference_model(ns, args, 20)
+
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((3, H, W)).astype(np.float32)
+    prev_img = rng.standard_normal((3, H, W)).astype(np.float32)
+
+    jax_model, _, _, _ = build_model(args)
+    batch = FrameBatch.from_images(
+        jnp.asarray(img.transpose(1, 2, 0))[None], jnp.array([[H, W]]))
+    prev_batch = FrameBatch.from_images(
+        jnp.asarray(prev_img.transpose(1, 2, 0))[None], jnp.array([[H, W]]))
+    params = convert_into(ref_model, jax_model, batch)
+
+    with torch.no_grad():
+        prev_samples = ns.misc.nested_tensor_from_tensor_list(
+            [torch.from_numpy(prev_img)])
+        _, _, ref_prev_feats, _, _ = ref_model(prev_samples)
+        samples = ns.misc.nested_tensor_from_tensor_list(
+            [torch.from_numpy(img)])
+        ref_out, *_ = ref_model(samples, None, ref_prev_feats)
+
+    _, _, prev_feats, _, _ = jax_model.apply(params, prev_batch, None)
+    out, *_ = jax_model.apply(params, batch, None, prev_feats)
+    assert_match(ref_out, out, atol=2e-3)
+
+
+def test_vanilla_segmentation_parity():
+    """Vanilla DETR + segmentation heads (reference detr_segmentation.py
+    :29-216: MHAttentionMap bbox attention + MaskHeadSmallConv FPN) through
+    the converter: logits/boxes/hs AND pred_masks must match."""
+    ns = load_reference()
+    # hidden 256 / nheads 8: MaskHeadSmallConv's GroupNorm(8) needs
+    # hidden + nheads divisible by 8 (detr_segmentation.py:105-178)
+    args = make_args([], {"masks": True, "dataset": "coco",
+                          "hidden_dim": 256, "nheads": 8})
+    torch.manual_seed(13)
+
+    backbone = ns.backbone.build_backbone(args)
+    detr_kwargs = {
+        "backbone": backbone,
+        "num_classes": 91,
+        "num_queries": args.num_queries,
+        "aux_loss": args.aux_loss,
+        "overflow_boxes": args.overflow_boxes,
+        "transformer": ns.transformer.build_transformer(args),
+    }
+    ref_model = ns.detr_segmentation.DETRSegm({"freeze_detr": False},
+                                              detr_kwargs)
+    ref_model.eval()
+    g = torch.Generator().manual_seed(7)
+    for name, buf in ref_model.named_buffers():
+        if name.endswith("running_var") or name.endswith("weight"):
+            buf.uniform_(0.8, 1.2, generator=g)
+        else:
+            buf.normal_(0.0, 0.05, generator=g)
+
+    rng = np.random.default_rng(13)
+    img = rng.standard_normal((3, H, W)).astype(np.float32)
+
+    jax_model, _, _, _ = build_model(args)
+    batch = FrameBatch.from_images(
+        jnp.asarray(img.transpose(1, 2, 0))[None], jnp.array([[H, W]]))
+    params = convert_into(ref_model, jax_model, batch)
+
+    with torch.no_grad():
+        samples = ns.misc.nested_tensor_from_tensor_list(
+            [torch.from_numpy(img)])
+        ref_out, *_ = ref_model(samples, None)
+
+    out, *_ = jax_model.apply(params, batch, None)
+    assert_match(ref_out, out, atol=1e-3)
+    ref_masks = ref_out["pred_masks"].detach().cpu().numpy()
+    ours_masks = np.asarray(out["pred_masks"])
+    assert ref_masks.shape == ours_masks.shape, (ref_masks.shape,
+                                                 ours_masks.shape)
+    np.testing.assert_allclose(
+        ours_masks, ref_masks, atol=2e-3, rtol=1e-3,
+        err_msg=f"pred_masks: max|d|={np.abs(ours_masks - ref_masks).max():.2e}")

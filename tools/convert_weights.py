@@ -141,6 +141,14 @@ def torch_key_for(path: str) -> Optional[Tuple[str, str]]:
         name = "weight" if kind == "kernel" else "bias"
         return f"{tk}.layers.{j}.{name}", ("linear" if kind == "kernel"
                                            else "copy")
+    # ---- two-stage proposal projections (reference
+    # deformable_transformer.py:53-56) ----
+    m = re.match(r"(enc_output|pos_trans)(_norm)?/(kernel|scale|bias)", p)
+    if m:
+        mod, is_norm, kind = m.groups()
+        name = "weight" if kind in ("kernel", "scale") else "bias"
+        t = "linear" if kind == "kernel" else "copy"
+        return f"transformer.{mod}{is_norm or ''}.{name}", t
     m = re.match(r"reference_points/(kernel|bias)", p)
     if m:
         kind = m.group(1)
