@@ -51,10 +51,18 @@ def add_track_queries_to_targets(
         prev_out: dict,
         prev_match_q: jnp.ndarray,
         cfg: TrackingConfig,
-        add_false_pos: bool = True) -> Targets:
+        add_false_pos: bool = True,
+        forced: Optional[dict] = None) -> Targets:
     """Build padded track-query slots on `targets` from prev-frame outputs.
 
     prev_match_q: (B, T) query index matched to each prev target slot.
+
+    `forced` (tests only — the tracking-augmentation parity test pins both
+    this and the reference implementation to the same choices): dict with
+    'num' (subset size), 'num_fps', 'order' (B, T) subset permutation, and
+    'fp_seed_pos' (B, T) FP seed positions; FP candidate picks then use
+    deterministic argmax over the distance weights instead of the weighted
+    Gumbel draw.
     """
     b, t = prev_targets.valid.shape
     q = prev_out["pred_boxes"].shape[1]
@@ -64,21 +72,35 @@ def add_track_queries_to_targets(
 
     r_num, r_fps, r_perm, r_fp = jax.random.split(rng, 4)
 
-    n_valid = jnp.sum(prev_targets.valid, axis=1)  # (B,)
-    min_valid = jnp.min(n_valid)
-    # shared subset size: uniform over [0, min_valid] (reference :43-46)
-    num = jax.random.randint(r_num, (), 0, 10**9) % (min_valid + 1)
-    # shared FP count: randint(0, ceil(p*num)+1) (reference :48-51)
-    fp_hi = jnp.ceil(cfg.false_positive_prob * num).astype(jnp.int32) + 1
-    num_fps = jnp.where(
-        (num > 0) & add_false_pos,
-        jax.random.randint(r_fps, (), 0, 10**9) % fp_hi, 0)
+    if forced is None:
+        n_valid = jnp.sum(prev_targets.valid, axis=1)  # (B,)
+        min_valid = jnp.min(n_valid)
+        # shared subset size: uniform over [0, min_valid] (reference :43-46)
+        num = jax.random.randint(r_num, (), 0, 10**9) % (min_valid + 1)
+        # shared FP count: randint(0, ceil(p*num)+1) (reference :48-51)
+        fp_hi = jnp.ceil(cfg.false_positive_prob * num).astype(jnp.int32) + 1
+        num_fps = jnp.where(
+            (num > 0) & add_false_pos,
+            jax.random.randint(r_fps, (), 0, 10**9) % fp_hi, 0)
+        order_in = jnp.zeros((b, t), jnp.int32)
+        fp_seed_in = jnp.zeros((b, t), jnp.int32)
+    else:
+        num = jnp.asarray(forced["num"], jnp.int32)
+        num_fps = jnp.asarray(forced.get("num_fps", 0), jnp.int32)
+        order_in = jnp.asarray(forced["order"], jnp.int32)
+        fp_seed_in = jnp.asarray(
+            forced.get("fp_seed_pos", jnp.zeros((b, t), jnp.int32)),
+            jnp.int32)
 
-    def per_image(rng_i, rng_fp_i, valid_i, match_q_i, prev_ids_i,
-                  cur_ids_i, cur_valid_i, prev_boxes_i, prev_hs_i):
-        # random order of valid prev-target slots first
-        noise = jax.random.uniform(rng_i, (t,))
-        order = jnp.argsort(jnp.where(valid_i, noise, noise + 10.0))
+    def per_image(rng_i, rng_fp_i, order_i, fp_seed_i, valid_i, match_q_i,
+                  prev_ids_i, cur_ids_i, cur_valid_i, prev_boxes_i,
+                  prev_hs_i):
+        if forced is None:
+            # random order of valid prev-target slots first
+            noise = jax.random.uniform(rng_i, (t,))
+            order = jnp.argsort(jnp.where(valid_i, noise, noise + 10.0))
+        else:
+            order = order_i
         sel = jnp.arange(t) < num  # positions holding subset members
 
         slot_tgt = order  # (T,) prev target slot per position
@@ -104,26 +126,38 @@ def add_track_queries_to_targets(
         if kfp:
             # candidate prev outputs = not used by any subset slot
             used = jnp.zeros((q,), bool).at[slot_q].max(sel)
-            # which subset positions seed each FP (randperm(num)[:num_fps])
-            pnoise = jax.random.uniform(jax.random.fold_in(rng_fp_i, 0), (t,))
-            fp_seed_pos = jnp.argsort(jnp.where(jnp.arange(t) < num,
-                                                pnoise, pnoise + 10.0))
+            if forced is None:
+                # subset positions seeding each FP (randperm(num)[:num_fps],
+                # reference :104)
+                pnoise = jax.random.uniform(jax.random.fold_in(rng_fp_i, 0),
+                                            (t,))
+                fp_seed_pos = jnp.argsort(jnp.where(jnp.arange(t) < num,
+                                                    pnoise, pnoise + 10.0))
+            else:
+                fp_seed_pos = fp_seed_i
 
-            matched_boxes = boxes_sub  # per position
+            # matched subset positions in subset order: the reference seeds
+            # FP j from prev_boxes_matched[j] — the j-th MATCHED box — when
+            # j < n_matched, else picks uniformly (detr_tracking.py:126-139)
+            mpos = jnp.argsort(~matched, stable=True)
+            n_matched = jnp.sum(matched)
 
             def fp_step(carry, j):
                 used_c = carry
-                seed_pos = fp_seed_pos[j]
-                seed_ok = matched[seed_pos]
-                seed_box = matched_boxes[seed_pos]
+                j_val = fp_seed_pos[j]
+                seed_ok = j_val < n_matched
+                seed_box = boxes_sub[mpos[jnp.clip(j_val, 0, t - 1)]]
                 d = prev_boxes_i[:, :2] - seed_box[None, :2]
                 w = jnp.sqrt(jnp.sum(d * d, axis=1)) + 1e-8
                 w = jnp.where(seed_ok, w, 1.0)  # uniform when no seed box
                 w = jnp.where(used_c, 0.0, w)
                 logw = jnp.log(jnp.maximum(w, 1e-30))
-                g = jax.random.gumbel(jax.random.fold_in(rng_fp_i, j + 1),
-                                      (q,))
-                pick = jnp.argmax(logw + g).astype(jnp.int32)
+                if forced is None:
+                    g = jax.random.gumbel(
+                        jax.random.fold_in(rng_fp_i, j + 1), (q,))
+                    pick = jnp.argmax(logw + g).astype(jnp.int32)
+                else:
+                    pick = jnp.argmax(logw).astype(jnp.int32)
                 used_c = used_c.at[pick].set(True)
                 return used_c, pick
 
@@ -141,9 +175,9 @@ def add_track_queries_to_targets(
     rngs = jax.random.split(r_perm, b)
     rngs_fp = jax.random.split(r_fp, b)
     tq_hs, tq_boxes, tq_valid, tq_fal_pos, tq_match = jax.vmap(per_image)(
-        rngs, rngs_fp, prev_targets.valid, prev_match_q,
-        prev_targets.track_ids, targets.track_ids, targets.valid,
-        prev_out["pred_boxes"], prev_out["hs_embed"])
+        rngs, rngs_fp, order_in, fp_seed_in, prev_targets.valid,
+        prev_match_q, prev_targets.track_ids, targets.track_ids,
+        targets.valid, prev_out["pred_boxes"], prev_out["hs_embed"])
 
     return targets.with_track_queries(tq_hs, tq_boxes, tq_valid, tq_fal_pos,
                                       tq_match)
