@@ -113,7 +113,9 @@ def main(argv=None, obj_detector_model=None):
                             tracker_cfg,
                             hidden_dim=train_args.hidden_dim,
                             num_object_queries=train_args.num_queries,
-                            overflow_boxes=train_args.overflow_boxes)
+                            overflow_boxes=train_args.overflow_boxes,
+                            with_masks=train_args.masks,
+                            postprocess_segm=postprocessors.get("segm"))
         mot_accums, seq_names = [], []
         time_total, num_frames = 0.0, 0
         for group in group_by_shape(list(dataset), batch_seqs):
@@ -127,6 +129,13 @@ def main(argv=None, obj_detector_model=None):
             print(f"BATCHED GROUP x{len(group)}: {t:.2f} s "
                   f"({n / max(t, 1e-9):.2f} Hz)")
             for seq, results in zip(group, group_results):
+                if train_args.masks:
+                    s0 = int(len(seq) * args.frame_range.start)
+                    blob0 = seq[s0]
+                    results = track_utils.upscale_mask_results(
+                        results, np.asarray(blob0["size"]).reshape(-1),
+                        np.asarray(blob0["orig_size"]).reshape(-1),
+                        blob0["batch"].images.shape[1:3])
                 if args.interpolate:
                     results = track_utils.interpolate_tracks(results)
                 if args.output_dir is not None:
@@ -168,6 +177,12 @@ def main(argv=None, obj_detector_model=None):
             time_total += t
             print(f"NUM TRACKS: {len(results)} ReIDs: {tracker.num_reids}")
             print(f"RUNTIME: {t:.2f} s ({(end - start) / max(t, 1e-9):.2f} Hz)")
+            if train_args.masks:
+                blob0 = seq[start]
+                results = track_utils.upscale_mask_results(
+                    results, np.asarray(blob0["size"]).reshape(-1),
+                    np.asarray(blob0["orig_size"]).reshape(-1),
+                    blob0["batch"].images.shape[1:3])
 
         if args.interpolate:
             results = track_utils.interpolate_tracks(results)

@@ -422,12 +422,14 @@ def make_tracker_step(apply_fn: Callable, postprocess: Callable,
         hs_all = out["hs_embed"]
 
         masks_all = None
-        if cfg.with_masks and postprocess_segm is not None:
+        if cfg.with_masks and "pred_masks" in out:
             masks_all = jax.nn.sigmoid(out["pred_masks"])  # (B, S+Q, h, w)
         attn_all = out.get("attention_maps")
         hw = orig_sizes.astype(jnp.float32)
 
-        has_masks = masks_all is not None
+        # carrying masks needs BOTH the model output and preallocated
+        # per-slot state buffers (init_state(..., mask_hw=...))
+        has_masks = masks_all is not None and states.masks is not None
         has_attn = attn_all is not None
 
         def logic(st, ba, sa, la, ha, ma, aa, pb, pv, hw_row):
@@ -502,13 +504,21 @@ class Tracker:
     def step(self, blob: dict):
         """blob: {img (1,H,W,3) jnp, orig_size (1,2), dets list/array}."""
         batch = blob["batch"]
-        if self.attn_hw == "auto" and self.state.attn_maps is None:
-            # probe the attention-map resolution once, then re-init state
+        if (self.attn_hw == "auto" and self.state.attn_maps is None) or \
+                (self.cfg.with_masks and self.state.masks is None):
+            # probe mask / attention-map resolutions once, then re-init the
+            # per-slot state buffers to match
             probe_out = self._apply_probe(batch)
-            hw = tuple(probe_out["attention_maps"].shape[-2:])
-            self.attn_hw = hw
-            self.state = self.state.replace(
-                attn_maps=jnp.zeros((self.cfg.max_tracks,) + hw,
+            if self.attn_hw == "auto":
+                self.attn_hw = tuple(
+                    probe_out["attention_maps"].shape[-2:])
+                self.state = self.state.replace(
+                    attn_maps=jnp.zeros(
+                        (self.cfg.max_tracks,) + self.attn_hw, jnp.float32))
+            if self.cfg.with_masks and self.state.masks is None:
+                self.mask_hw = tuple(probe_out["pred_masks"].shape[-2:])
+                self.state = self.state.replace(
+                    masks=jnp.zeros((self.cfg.max_tracks,) + self.mask_hw,
                                     jnp.float32))
         orig_size = jnp.asarray(blob["orig_size"])
         p_max = 128

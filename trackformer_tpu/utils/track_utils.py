@@ -76,6 +76,38 @@ def interpolate_tracks(tracks: Dict[int, Dict[int, dict]]) -> Dict:
     return interpolated
 
 
+def upscale_mask_results(tracks: Dict[int, Dict[int, dict]],
+                         size_hw, orig_hw, pad_hw) -> Dict:
+    """Resize head-resolution tracker masks to the original image size.
+
+    The jitted tracker resolves mask overlap at the mask-head output
+    resolution, which covers the PADDED model input; for MOTS result files
+    (reference tracker.py:509-541 works at full resolution throughout) the
+    masks are cropped to the valid image region and nearest-resized to the
+    original frame size on the host.
+    """
+    from PIL import Image
+
+    h, w = int(size_hw[0]), int(size_hw[1])
+    ph, pw = int(pad_hw[0]), int(pad_hw[1])
+    oh, ow = int(orig_hw[0]), int(orig_hw[1])
+    out: Dict[int, Dict[int, dict]] = {}
+    for tid, frames in tracks.items():
+        out[tid] = {}
+        for fi, data in frames.items():
+            data = dict(data)
+            if "mask" in data:
+                m = np.asarray(data["mask"])
+                mh, mw = m.shape
+                vh = max(1, int(round(mh * h / ph)))
+                vw = max(1, int(round(mw * w / pw)))
+                img = Image.fromarray(m[:vh, :vw].astype(np.uint8))
+                data["mask"] = np.asarray(
+                    img.resize((ow, oh), Image.NEAREST)).astype(bool)
+            out[tid][fi] = data
+    return out
+
+
 def plot_sequence(tracks: Dict, seq, output_dir: str,
                   write_images="pretty", generate_attention_maps=False):
     """Draw tracked boxes (+ optional masks) onto frames and save them
