@@ -20,6 +20,41 @@ def rgb2id(color: np.ndarray) -> np.ndarray:
     return color[..., 0] + 256 * color[..., 1] + 256 * 256 * color[..., 2]
 
 
+class _LazySegmAnns(dict):
+    """`anns_by_image` facade for CocoPanoptic: plain detection anns are
+    stored eagerly (cheap — from segments_info); per-segment RLE
+    `segmentation` masks are decoded from the panoptic PNG only when an
+    image's anns are first FETCHED via get/__getitem__ (the segm-AP
+    matching path).  Whole-dict iteration (category enumeration in
+    summarize) never triggers decoding."""
+
+    def __init__(self, dataset):
+        super().__init__()
+        self._dataset = dataset
+        self.files = {}
+        self._decoded = set()
+
+    def _ensure_segm(self, key):
+        if key in self._decoded or key not in self.files:
+            return
+        self._decoded.add(key)
+        from ..utils import rle as rle_mod
+        path = self._dataset.ann_folder / self.files[key]
+        with Image.open(path) as m:
+            pan = rgb2id(np.asarray(m.convert("RGB")))
+        for a in dict.__getitem__(self, key):
+            a["segmentation"] = rle_mod.encode_mask(pan == a["segment_id"])
+
+    def __getitem__(self, key):
+        self._ensure_segm(key)
+        return dict.__getitem__(self, key)
+
+    def get(self, key, default=None):
+        if key not in self:
+            return default
+        return self[key]
+
+
 class CocoPanoptic:
     def __init__(self, img_folder, ann_folder, ann_file, transforms,
                  norm_transforms, return_masks: bool = True):
@@ -35,6 +70,29 @@ class CocoPanoptic:
         self._norm_transforms = norm_transforms
         self.return_masks = return_masks
         self.anns = self.coco["annotations"]
+        # COCO-detection facade so bbox/segm AP can run during panoptic
+        # training.  The reference cannot do this at all — its
+        # get_coco_api_from_dataset raises NotImplementedError for
+        # panoptic datasets (reference datasets/__init__.py:23-26); here
+        # per-segment detection anns are synthesized from segments_info,
+        # with mask RLEs decoded lazily from the panoptic PNG only for
+        # images that segm AP actually matches.
+        self.images = {im["id"]: im for im in self.coco["images"]}
+        self.anns_by_image = _LazySegmAnns(self)
+        aid = 0
+        for ann in self.anns:
+            lst = []
+            for s in ann["segments_info"]:
+                bbox = [float(v) for v in s.get("bbox", (0, 0, 0, 0))]
+                lst.append({
+                    "id": aid, "image_id": ann["image_id"],
+                    "segment_id": s["id"],
+                    "category_id": s["category_id"], "bbox": bbox,
+                    "area": float(s.get("area", bbox[2] * bbox[3])),
+                    "iscrowd": int(s.get("iscrowd", 0)), "ignore": 0})
+                aid += 1
+            dict.__setitem__(self.anns_by_image, ann["image_id"], lst)
+            self.anns_by_image.files[ann["image_id"]] = ann["file_name"]
 
     def __len__(self):
         return len(self.anns)
