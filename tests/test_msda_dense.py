@@ -1,0 +1,152 @@
+"""Pallas dense separable-bilinear MSDA kernel (ops/msda_dense.py) vs the
+naive per-point reference — forward, gradients, padding edges, and routing
+through the ms_deform_attn hybrid.
+
+Reference semantics: ms_deform_attn_core_pytorch
+(/root/reference/src/trackformer/models/ops/functions/ms_deform_attn_func.py:34-54).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trackformer_tpu.ops.msda import ms_deform_attn, ms_deform_attn_reference
+from trackformer_tpu.ops.msda_dense import (_level_out_gather,
+                                            dense_level_pallas,
+                                            dense_level_pallas_v2)
+
+SHAPES = ((9, 13), (5, 7))
+S = sum(h * w for h, w in SHAPES)
+N, M, D, LQ, P = 2, 2, 4, 37, 4
+
+
+def make_inputs(seed=0, oob=False):
+    rng = np.random.default_rng(seed)
+    value = rng.standard_normal((N, S, M, D)).astype(np.float32)
+    lo, hi = (-0.4, 1.4) if oob else (0.0, 1.0)
+    loc = rng.uniform(lo, hi, (N, LQ, M, len(SHAPES), P, 2)) \
+        .astype(np.float32)
+    attn = rng.uniform(0.1, 1.0, (N, LQ, M, len(SHAPES), P)) \
+        .astype(np.float32)
+    attn /= attn.sum(axis=(-2, -1), keepdims=True)
+    return jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn)
+
+
+def level_slices(value):
+    out, off = [], 0
+    for h, w in SHAPES:
+        out.append(value[:, off:off + h * w])
+        off += h * w
+    return out
+
+
+@pytest.mark.parametrize("oob", [False, True])
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_pallas_level_matches_reference(lvl, oob):
+    value, loc, attn = make_inputs(oob=oob)
+    h, w = SHAPES[lvl]
+    got = dense_level_pallas(level_slices(value)[lvl], loc[:, :, :, lvl],
+                             attn[:, :, :, lvl], h, w, True)
+    # reference: zero the other level's attention so only `lvl` contributes
+    attn_only = attn.at[:, :, :, 1 - lvl].set(0.0)
+    want = ms_deform_attn_reference(value, SHAPES, loc, attn_only)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(N, LQ, M * D), np.asarray(want),
+        atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_level_matches_gather_formulation():
+    value, loc, attn = make_inputs(seed=3, oob=True)
+    h, w = SHAPES[0]
+    v0 = level_slices(value)[0]
+    got = dense_level_pallas(v0, loc[:, :, :, 0], attn[:, :, :, 0], h, w,
+                             True)
+    want = _level_out_gather(v0, loc[:, :, :, 0], attn[:, :, :, 0], h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_level_gradients():
+    """custom_vjp backward (XLA gather formulation) must agree with the
+    gradient of the naive reference."""
+    value, loc, attn = make_inputs(seed=5, oob=True)
+    h, w = SHAPES[0]
+    v0 = level_slices(value)[0]
+    l0, a0 = loc[:, :, :, 0], attn[:, :, :, 0]
+
+    def f_pallas(v, l, a):
+        return jnp.sum(dense_level_pallas(v, l, a, h, w, True) ** 2)
+
+    def f_ref(v, l, a):
+        return jnp.sum(_level_out_gather(v, l, a, h, w) ** 2)
+
+    g_pallas = jax.grad(f_pallas, argnums=(0, 1, 2))(v0, l0, a0)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(v0, l0, a0)
+    for gp, gr, name in zip(g_pallas, g_ref, ("value", "loc", "attn")):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_hybrid_routing_with_pallas_enabled():
+    """ms_deform_attn(pallas_dense=True) must be numerically identical to
+    the pure XLA paths regardless of which levels it routes to Pallas."""
+    value, loc, attn = make_inputs(seed=7, oob=True)
+    base = ms_deform_attn(value, SHAPES, loc, attn, pallas_dense=False)
+    # force the pallas path to take every level over a tiny dense budget
+    got = ms_deform_attn(value, SHAPES, loc, attn, dense_cell_budget=1,
+                         pallas_dense=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("oob", [False, True])
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_pallas_v2_matches_reference(lvl, oob):
+    """Block-skipping variant: identical numerics incl. OOB points (whose
+    contributions land in skipped tiles must be exactly preserved)."""
+    value, loc, attn = make_inputs(seed=13, oob=oob)
+    h, w = SHAPES[lvl]
+    got = dense_level_pallas_v2(level_slices(value)[lvl], loc[:, :, :, lvl],
+                                attn[:, :, :, lvl], h, w, True)
+    want = _level_out_gather(level_slices(value)[lvl], loc[:, :, :, lvl],
+                             attn[:, :, :, lvl], h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_v2_small_tiles_skipping():
+    """Force several row-tiles (rows_per_tile=2) with clustered queries so
+    real skipping happens, and compare against the gather formulation."""
+    from trackformer_tpu.ops.msda_dense import _dense_level_pallas_v2_fwd
+    rng = np.random.default_rng(17)
+    h, w = 12, 9
+    lq, m, d, p = 50, 2, 4, 4
+    value = jnp.asarray(rng.standard_normal((1, h * w, m, d)), jnp.float32)
+    # clustered: each query samples near its own raster position
+    base = (np.arange(lq) % (h * w))
+    by = (base // w + 0.5) / h
+    bx = (base % w + 0.5) / w
+    loc = np.stack([bx, by], -1)[None, :, None, None, :] \
+        + rng.normal(0, 0.03, (1, lq, m, p, 2))
+    loc = jnp.asarray(loc, jnp.float32)
+    attn = jnp.asarray(rng.uniform(0.1, 1.0, (1, lq, m, p)), jnp.float32)
+    got = _dense_level_pallas_v2_fwd(value, loc, attn, h, w, tq=8,
+                                     rows_per_tile=2, interpret=True)
+    want = _level_out_gather(value, loc, attn, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_tile_padding_edges():
+    """Lq and C not multiples of the tile sizes: padded queries must not
+    leak into real outputs and padded cells must contribute zero."""
+    rng = np.random.default_rng(11)
+    h, w = 17, 19  # C = 323, far from 512-multiples
+    lq = 130       # not a multiple of 256
+    value = jnp.asarray(rng.standard_normal((1, h * w, 1, 8)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (1, lq, 1, P, 2)), jnp.float32)
+    attn = jnp.asarray(rng.uniform(0.1, 1.0, (1, lq, 1, P)), jnp.float32)
+    got = dense_level_pallas(value, loc, attn, h, w, True)
+    want = _level_out_gather(value, loc, attn, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)

@@ -1,0 +1,137 @@
+"""Microbench: exact encoder-scale MSDA — gather-only vs Pallas dense
+levels (ops/msda_dense.py) on the real chip.
+
+Flagship encoder scale: 800x1344 input -> levels (100,168),(50,84),
+(25,42),(13,21); Lq = S = 22323 tokens, M=8 heads, D=36, P=4 points.
+
+Timing per CLAUDE.md: chain K iterations feeding outputs back into the
+attention weights, one small readback at the end.
+"""
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trackformer_tpu.ops.msda import ms_deform_attn
+
+SHAPES = ((100, 168), (50, 84), (25, 42), (13, 21))
+S = sum(h * w for h, w in SHAPES)
+N, M, D, P = 1, 8, 36, 4
+L = len(SHAPES)
+K = 10
+
+
+def make_inputs(seed=0, sigma=0.02):
+    rng = np.random.default_rng(seed)
+    value = jnp.asarray(rng.standard_normal((N, S, M, D)), jnp.bfloat16)
+    # encoder-like clustered sampling: per-query base position + small
+    # offsets (raster order per level)
+    base = []
+    for h, w in SHAPES:
+        ys, xs = np.meshgrid((np.arange(h) + 0.5) / h,
+                             (np.arange(w) + 0.5) / w, indexing="ij")
+        base.append(np.stack([xs, ys], -1).reshape(-1, 2))
+    base = np.concatenate(base, 0)  # (S, 2)
+    off = rng.normal(0, sigma, (S, M, L, P, 2))
+    loc = np.clip(base[:, None, None, None] + off, -0.1, 1.1)
+    loc = jnp.asarray(loc[None], jnp.float32)
+    attn = rng.uniform(0.1, 1.0, (N, S, M, L, P)).astype(np.float32)
+    attn /= attn.sum((-2, -1), keepdims=True)
+    return value, loc, jnp.asarray(attn)
+
+
+def op_for_mode(mode):
+    from trackformer_tpu.ops.msda_dense import dense_level_pallas_v2
+
+    if mode in ("gather", "pallas_v1"):
+        return lambda v, l, a: ms_deform_attn(
+            v, SHAPES, l, a, pallas_dense=(mode == "pallas_v1"))
+
+    def v2_all(value, loc, attn):
+        acc = []
+        off = 0
+        for i, (h, w) in enumerate(SHAPES):
+            acc.append(dense_level_pallas_v2(
+                value[:, off:off + h * w], loc[:, :, :, i],
+                attn[:, :, :, i], h, w, False))
+            off += h * w
+        return sum(acc).reshape(N, S, M * D)
+
+    return v2_all
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def chain(value, loc, attn, mode):
+    op = op_for_mode(mode)
+
+    # feed attention back with a tiny perturbation so the scan is
+    # serialized on-device
+    def body2(carry, _):
+        out = op(value, loc, carry)
+        delta = jnp.tanh(out[..., :M]).reshape(N, S, M, 1, 1) * 1e-6
+        return jax.nn.softmax(
+            (carry + delta).reshape(N, S, M, L * P), -1
+        ).reshape(N, S, M, L, P), out[0, 0, 0]
+
+    final, outs = jax.lax.scan(body2, attn, None, length=K)
+    return final[0, 0, 0, 0, 0], outs
+
+
+def bench(mode, sigma):
+    value, loc, attn = make_inputs(sigma=sigma)
+    r = chain(value, loc, attn, mode)[0]
+    float(r)  # compile + warm
+    t0 = time.perf_counter()
+    r = chain(value, loc, attn, mode)[0]
+    float(r)
+    dt = (time.perf_counter() - t0) / K
+    return dt
+
+
+@functools.partial(jax.jit, static_argnames=("lvl", "impl"))
+def chain_level(value, loc, attn, lvl, impl):
+    from trackformer_tpu.ops.msda_dense import (dense_level_pallas,
+                                                dense_level_pallas_v2)
+    h, w = SHAPES[lvl]
+    off = sum(hh * ww for hh, ww in SHAPES[:lvl])
+    v_l = value[:, off:off + h * w]
+    fn = {"v1": dense_level_pallas, "v2": dense_level_pallas_v2}[impl]
+
+    def body(carry, _):
+        out = fn(v_l, loc[:, :, :, lvl], carry, h, w, False)
+        delta = jnp.tanh(out[..., 0]).reshape(N, S, M, 1) * 1e-6
+        return jax.nn.softmax(carry + delta, -1), out[0, 0, 0, 0]
+
+    final, outs = jax.lax.scan(body, attn[:, :, :, 0], None, length=K)
+    return final[0, 0, 0, 0], outs
+
+
+def bench_level(lvl, impl, sigma):
+    value, loc, attn = make_inputs(sigma=sigma)
+    r = chain_level(value, loc, attn, lvl, impl)[0]
+    float(r)
+    t0 = time.perf_counter()
+    r = chain_level(value, loc, attn, lvl, impl)[0]
+    float(r)
+    return (time.perf_counter() - t0) / K
+
+
+if __name__ == "__main__":
+    import sys
+    args = sys.argv[1:]
+    per_level = "--levels" in args
+    sigmas = [float(s) for s in args if s != "--levels"] or [0.02]
+    for sigma in sigmas:
+        if per_level:
+            for lvl in range(L):
+                for impl in ("v1", "v2"):
+                    dt = bench_level(lvl, impl, sigma)
+                    print(f"sigma={sigma:5.3f} L{lvl} {impl}: "
+                          f"{dt * 1e3:8.2f} ms", flush=True)
+        else:
+            for mode in ("gather", "pallas_v1", "v2_all"):
+                dt = bench(mode, sigma)
+                print(f"sigma={sigma:5.3f} {mode:10s}: {dt * 1e3:8.2f} ms "
+                      f"/ layer-equivalent", flush=True)

@@ -126,32 +126,54 @@ def _dense_level_out(value_l, loc_l, attn_l, h, w):
 # encoder level — where Lq is the full token count — stay on the gather)
 DENSE_CELL_BUDGET = 32_000_000
 
+# Pallas generated-LHS-matmul path (ops/msda_dense.py) for mid-size levels
+# that overflow the XLA dense budget: replaces the level's Lq*M*P*4 gather
+# rows with MXU work whose cost scales with the CELL count, so it only
+# pays off while H*W stays moderate. At flagship encoder scale this moves
+# levels 1-3 (4200/1050/273 cells) off the gather (75% of its rows).
+PALLAS_DENSE_MAX_CELLS = 8192
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
 
 @functools.partial(jax.jit, static_argnums=(1,),
-                   static_argnames=("dense_cell_budget",))
+                   static_argnames=("dense_cell_budget", "pallas_dense"))
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Tuple[Tuple[int, int], ...],
                    sampling_locations: jnp.ndarray,
                    attention_weights: jnp.ndarray,
-                   *, dense_cell_budget: int = DENSE_CELL_BUDGET
-                   ) -> jnp.ndarray:
+                   *, dense_cell_budget: int = DENSE_CELL_BUDGET,
+                   pallas_dense: bool | None = None) -> jnp.ndarray:
     """Multi-scale deformable attention core (see module docstring).
 
-    Hybrid execution, numerics identical either way: levels whose
+    Hybrid execution, numerics identical in all three paths: levels whose
     Lq*M*H*W fits `dense_cell_budget` are computed as dense
-    separable-bilinear matmuls (`_dense_level_out`); the rest are fused
-    into ONE flat row-gather — the layout XLA:TPU lowers to its fastest
-    gather path — with the bilinear/attention weighting in the gather
-    consumer.
+    separable-bilinear matmuls (`_dense_level_out`); levels over budget
+    with at most PALLAS_DENSE_MAX_CELLS cells use the Pallas
+    generated-LHS-matmul kernel (`pallas_dense`: None = auto-enable on
+    TPU, interpreter mode elsewhere); the rest are fused into ONE flat
+    row-gather — the layout XLA:TPU lowers to its fastest gather path —
+    with the bilinear/attention weighting in the gather consumer.
     """
     n, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
     assert l == len(spatial_shapes), (l, spatial_shapes)
     assert s == sum(h * w for h, w in spatial_shapes)
 
+    if pallas_dense is None:
+        pallas_dense = _on_tpu()
     dense_levels = [i for i, (h, w) in enumerate(spatial_shapes)
                     if lq * m * h * w <= dense_cell_budget]
-    gather_levels = [i for i in range(l) if i not in dense_levels]
+    pallas_levels = [i for i, (h, w) in enumerate(spatial_shapes)
+                    if pallas_dense and i not in dense_levels
+                    and h * w <= PALLAS_DENSE_MAX_CELLS]
+    gather_levels = [i for i in range(l)
+                     if i not in dense_levels and i not in pallas_levels]
 
     acc = jnp.zeros((n, lq, m, d), jnp.float32)
     offset = 0
@@ -161,6 +183,12 @@ def ms_deform_attn(value: jnp.ndarray,
                 value[:, offset:offset + h * w],
                 sampling_locations[:, :, :, i],
                 attention_weights[:, :, :, i], h, w)
+        elif i in pallas_levels:
+            from .msda_dense import dense_level_pallas
+            acc = acc + dense_level_pallas(
+                value[:, offset:offset + h * w],
+                sampling_locations[:, :, :, i],
+                attention_weights[:, :, :, i], h, w, not _on_tpu())
         offset += h * w
 
     if gather_levels:

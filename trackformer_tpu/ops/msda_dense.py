@@ -1,0 +1,365 @@
+"""Pallas dense separable-bilinear MSDA — generated-LHS matmul kernel.
+
+Exact-MSDA encoder levels are gather-bound on TPU: the XLA row-gather path
+(ops/msda.py) moves ~360M rows/s and each encoder layer needs
+Lq*M*P*4 ~ 2.9M rows PER LEVEL, ~32 ms/layer at flagship scale.  For a
+level with C = H*W cells the same contribution is a dense matmul
+
+    out[q, d] = sum_s w_full[q, s] * V[s, d],
+    w_full[q, s] = sum_p attn[q,p] * max(0, 1-|y_qp - h_s|)
+                                   * max(0, 1-|x_qp - w_s|)
+
+(the bilinear corner weights written as a hat function over ALL integer
+cells — identical numerics to 4-corner gathering incl. grid_sample's
+zero padding, because out-of-range cells simply do not appear in the sum).
+XLA cannot fuse the w_full producer into a dot operand, and materializing
+w_full (Lq x C) in HBM is bandwidth-bound, so this kernel generates each
+w_full tile on the VPU *inside VMEM* and feeds the MXU directly — no
+gather, no HBM round-trip for the weights.  Semantics match the reference
+CUDA kernel
+(/root/reference/src/trackformer/models/ops/src/cuda/ms_deform_im2col_cuda.cuh:166-237).
+
+Worth it when C is small-to-mid (coarse levels; cost scales with Lq*C)
+while the gather cost is level-independent (Lq*P*4 rows each): at flagship
+encoder scale levels 1-3 (4200/1050/273 cells) run ~6x faster dense.
+
+Backward: the forward is wrapped in jax.custom_vjp whose backward
+re-derives gradients through the (numerically identical) XLA gather
+formulation — scatter-adds are what the reference col2im kernels do too.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+P_UNROLL_MAX = 8  # static unroll bound for the points loop
+
+
+# ---------------------------------------------------------------------------
+# v2: block-skipping kernel (encoder scale, level 0 included)
+#
+# Encoder queries are the level tokens themselves in raster order, and their
+# sampling points cluster around their own positions, so a tile of TQ
+# consecutive queries touches only a narrow band of value ROWS.  Because an
+# s-tile spans WHOLE (padded) rows, a (q-tile, s-tile) pair can be skipped
+# exactly when the q-tile's y-range (over all heads/points, +-1 hat
+# support) misses the s-tile's row range — a bound computed OUTSIDE the
+# kernel on the VPU and prefetched as scalars.  Compute cost then scales
+# with the TRUE offset locality and degrades gracefully to full dense.
+# Heads run in an inner loop so per-grid-step overhead is amortized 8x.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(flags_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, n_points,
+               n_heads, d_head):
+    """Grid (N, nQ, nS).  qinfo (1, TQ, M*3P); v (1, TS, M*D) whole padded
+    rows; flags (N*nQ*nS,) int32 in SMEM; out (1, TQ, M*D) f32 revisited
+    over s."""
+    n_i = pl.program_id(0)
+    q_i = pl.program_id(1)
+    s_i = pl.program_id(2)
+    n_s = pl.num_programs(2)
+    n_q = pl.num_programs(1)
+
+    @pl.when(s_i == 0)
+    def _init():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    flag = flags_ref[(n_i * n_q + q_i) * n_s + s_i]
+    n_rows = ts // wp
+
+    @pl.when(flag != 0)
+    def _compute():
+        # s tile = `n_rows` whole padded rows starting at row0 (cells with
+        # w >= W carry zero value rows so spurious weight is harmless).
+        # Row structure cuts the weight generation to 2 VPU ops per
+        # (q, cell, point): hat_x factors are shared by every row of the
+        # tile and the hat_y factor collapses to a per-row scalar column.
+        row0 = (s_i * n_rows).astype(jnp.float32)
+        wcoord = jax.lax.broadcasted_iota(
+            jnp.int32, (1, wp), 1).astype(jnp.float32)             # (1, Wp)
+        q = qinfo_ref[0]  # (TQ, M*3P)
+        tiles = []
+        for m in range(n_heads):
+            base = m * 3 * n_points
+            wx_p, y_p = [], []
+            for p in range(n_points):
+                x = q[:, base + p:base + p + 1]                    # (TQ, 1)
+                a = q[:, base + 2 * n_points + p:base + 2 * n_points + p + 1]
+                wx_p.append(
+                    a * jnp.maximum(0.0, 1.0 - jnp.abs(x - wcoord)))
+                y_p.append(q[:, base + n_points + p:base + n_points + p + 1])
+            segs = []
+            for r in range(n_rows):
+                hrow = row0 + r
+                seg = None
+                for p in range(n_points):
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_p[p] - hrow))
+                    term = wy * wx_p[p]                           # (TQ, Wp)
+                    seg = term if seg is None else seg + term
+                segs.append(seg)
+            acc = jnp.concatenate(segs, axis=1)                   # (TQ, TS)
+            v = v_ref[0, :, m * d_head:(m + 1) * d_head]          # (TS, D)
+            tiles.append(jnp.dot(acc.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32))
+        o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "tq", "rows_per_tile",
+                                    "interpret"))
+def _dense_level_pallas_v2_fwd(value_l, loc_l, attn_l, h, w,
+                               tq=256, rows_per_tile=None, interpret=False):
+    """Block-skipping variant.  Same contract as `_dense_level_pallas_fwd`.
+
+    value_l (N, H*W, M, D); loc_l (N, Lq, M, P, 2) in [0,1];
+    attn_l (N, Lq, M, P) -> (N, Lq, M, D) f32.
+    """
+    n, c, m, d = value_l.shape
+    _, lq, _, p, _ = loc_l.shape
+    assert c == h * w, (c, h, w)
+    assert p <= P_UNROLL_MAX, p
+
+    wp = max(128, -(-w // 128) * 128)
+    if rows_per_tile is None:
+        rows_per_tile = max(1, 1024 // wp)
+    rows_per_tile = min(rows_per_tile, h)
+    ts = rows_per_tile * wp
+
+    x = loc_l[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc_l[..., 1].astype(jnp.float32) * h - 0.5
+    qinfo = jnp.concatenate(
+        [x, y, attn_l.astype(jnp.float32)], axis=-1)  # (N, Lq, M, 3P)
+    qinfo = qinfo.reshape(n, lq, m * 3 * p)
+    qinfo = _pad_to(qinfo, 1, tq)
+    lqp = qinfo.shape[1]
+    n_q = lqp // tq
+
+    # value rows padded W -> Wp with zeros, then rows padded to tile mult
+    v = value_l.reshape(n, h, w, m * d)
+    v = _pad_to(v, 2, wp) if wp != w else v
+    v = v.reshape(n, h * wp, m * d)
+    v = _pad_to(v, 1, ts)
+    cp = v.shape[1]
+    n_s = cp // ts
+
+    # exact skip bounds: per q-tile the y-range over heads/points, +-1 for
+    # the hat support; an s-tile of rows [r0, r0+TH) can contribute iff the
+    # ranges intersect.  (x never matters: s-tiles span whole rows.)
+    y_t = y.reshape(n, lq, m * p)
+    y_t = _pad_to(y_t, 1, tq).reshape(n, n_q, tq * m * p)
+    ymin = jnp.floor(jnp.min(y_t, axis=2)) - 1.0   # corner y0 may be -1 low
+    ymax = jnp.floor(jnp.max(y_t, axis=2)) + 1.0
+    r0 = jnp.arange(n_s, dtype=jnp.float32) * rows_per_tile
+    overlap = ((ymax[:, :, None] >= r0[None, None, :])
+               & (ymin[:, :, None] <= r0[None, None, :] + rows_per_tile - 1))
+    # padded queries (all-zero qinfo) decode to y = -0.5 -> rows {-1, 0};
+    # harmless: attn is zero there
+    flags = overlap.astype(jnp.int32).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, n_q, n_s),
+        in_specs=[
+            pl.BlockSpec((1, tq, m * 3 * p), lambda i, j, k, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, m * d), lambda i, j, k, *_: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, m * d), lambda i, j, k, *_: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, ts=ts, wp=wp, n_points=p,
+                          n_heads=m, d_head=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, lqp, m * d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * lqp * cp * m * (d + p),
+            bytes_accessed=(qinfo.size * 4 + v.size * v.dtype.itemsize
+                            + n * lqp * m * d * 4),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(flags, qinfo, v)
+    return out[:, :lq].reshape(n, lq, m, d)
+
+
+def _kernel(qinfo_ref, v_ref, o_ref, *, ts, w_level, n_points):
+    """One (nm, q-tile, s-tile) step: generate the (TQ, TS) weight tile,
+    matmul with the (TS, D) value tile, accumulate into the (TQ, D) out.
+
+    qinfo_ref: (1, TQ, 3P) packed [x, y, attn] per point, f32.
+    v_ref:     (1, TS, D) value tile (level rows, zero-padded past H*W).
+    o_ref:     (1, TQ, D) f32, revisited across the s grid dimension.
+    """
+    s_idx = pl.program_id(2)
+    # cell coordinates of this s tile, from the flat row index (s = h*W + w;
+    # rows past H*W decode to h >= H whose value rows are zero-padded, so
+    # any weight they pick up contributes nothing)
+    sg = s_idx * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
+    hcoord = (sg // w_level).astype(jnp.float32)  # (1, TS)
+    wcoord = (sg % w_level).astype(jnp.float32)
+
+    q = qinfo_ref[0]  # (TQ, 3P)
+    acc = None
+    for p in range(n_points):
+        x = q[:, p:p + 1]                     # (TQ, 1)
+        y = q[:, n_points + p:n_points + p + 1]
+        a = q[:, 2 * n_points + p:2 * n_points + p + 1]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - wcoord))   # (TQ, TS)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - hcoord))
+        term = (a * wy) * wx
+        acc = term if acc is None else acc + term
+    v = v_ref[0]
+    tile = jnp.dot(acc.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)  # (TQ, D)
+
+    @pl.when(s_idx == 0)
+    def _init():
+        o_ref[0] = tile
+
+    @pl.when(s_idx != 0)
+    def _acc():
+        o_ref[0] = o_ref[0] + tile
+
+
+def _pad_to(arr, axis, mult):
+    size = arr.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "tq", "ts", "interpret"))
+def _dense_level_pallas_fwd(value_l, loc_l, attn_l, h, w,
+                            tq=256, ts=512, interpret=False):
+    """value_l (N, H*W, M, D); loc_l (N, Lq, M, P, 2) in [0,1];
+    attn_l (N, Lq, M, P) -> (N, Lq, M, D) f32."""
+    n, c, m, d = value_l.shape
+    _, lq, _, p, _ = loc_l.shape
+    assert c == h * w, (c, h, w)
+    assert p <= P_UNROLL_MAX, p
+
+    # grid_sample(align_corners=False) cell coordinates
+    x = loc_l[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc_l[..., 1].astype(jnp.float32) * h - 0.5
+    qinfo = jnp.concatenate(
+        [x, y, attn_l.astype(jnp.float32)], axis=-1)      # (N, Lq, M, 3P)
+    qinfo = qinfo.transpose(0, 2, 1, 3).reshape(n * m, lq, 3 * p)
+    v = value_l.transpose(0, 2, 1, 3).reshape(n * m, c, d)
+
+    qinfo = _pad_to(qinfo, 1, tq)
+    v = _pad_to(v, 1, ts)
+    lqp, cp = qinfo.shape[1], v.shape[1]
+
+    grid = (n * m, lqp // tq, cp // ts)
+    out = pl.pallas_call(
+        functools.partial(_kernel, ts=ts, w_level=w, n_points=p),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, 3 * p), lambda i, j, k: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, d), lambda i, j, k: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda i, j, k: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n * m, lqp, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * m * lqp * cp * (d + p),
+            bytes_accessed=(qinfo.size * 4 + v.size * v.dtype.itemsize
+                            + n * m * lqp * d * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(qinfo, v)
+    out = out[:, :lq].reshape(n, m, lq, d).transpose(0, 2, 1, 3)
+    return out
+
+
+def _level_out_gather(value_l, loc_l, attn_l, h, w):
+    """XLA gather formulation of the same per-level contribution (used for
+    the backward pass; numerics identical to the kernel)."""
+    n, c, m, d = value_l.shape
+    _, lq, _, p, _ = loc_l.shape
+    x = loc_l[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc_l[..., 1].astype(jnp.float32) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    dx, dy = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    idx_c, w_c = [], []
+    for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        ix, iy = x0i + cx, y0i + cy
+        valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+        idx_c.append(jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1))
+        wx = dx if cx else (1.0 - dx)
+        wy = dy if cy else (1.0 - dy)
+        w_c.append(wx * wy * valid * attn_l)
+    idx = jnp.stack(idx_c, axis=-1)      # (N, Lq, M, P, 4)
+    wgt = jnp.stack(w_c, axis=-1)
+    # (N, M, Lq, P4) row-gather from (N, M, C, D)
+    v = value_l.transpose(0, 2, 1, 3)
+    idx_nm = idx.transpose(0, 2, 1, 3, 4).reshape(n, m, lq * p * 4)
+    g = jnp.take_along_axis(v, idx_nm[..., None], axis=2)
+    g = g.reshape(n, m, lq, p * 4, d)
+    wgt_nm = wgt.transpose(0, 2, 1, 3, 4).reshape(n, m, lq, p * 4)
+    out = jnp.einsum("nmqk,nmqkd->nmqd", wgt_nm.astype(value_l.dtype), g,
+                     preferred_element_type=jnp.float32)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def dense_level_pallas(value_l, loc_l, attn_l, h, w, interpret=False):
+    """EXACT per-level MSDA contribution as a Pallas generated-LHS matmul.
+
+    value_l (N, H*W, M, D); loc_l (N, Lq, M, P, 2); attn_l (N, Lq, M, P)
+    -> (N, Lq, M, D) f32.  `interpret=True` runs the kernel in interpreter
+    mode (CPU tests).  Gradients flow via the XLA gather formulation.
+    """
+    return _dense_level_pallas_fwd(value_l, loc_l, attn_l, h, w,
+                                   interpret=interpret)
+
+
+def _fwd(value_l, loc_l, attn_l, h, w, interpret):
+    out = _dense_level_pallas_fwd(value_l, loc_l, attn_l, h, w,
+                                  interpret=interpret)
+    return out, (value_l, loc_l, attn_l)
+
+
+def _bwd(h, w, interpret, res, g):
+    value_l, loc_l, attn_l = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: _level_out_gather(v, l, a, h, w),
+        value_l, loc_l, attn_l)
+    return vjp(g)
+
+
+dense_level_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def dense_level_pallas_v2(value_l, loc_l, attn_l, h, w, interpret=False):
+    """Block-skipping variant of `dense_level_pallas` (see _kernel_v2):
+    same exact semantics, cost scales with sampling locality, level 0
+    viable.  Gradients flow via the XLA gather formulation."""
+    return _dense_level_pallas_v2_fwd(value_l, loc_l, attn_l, h, w,
+                                      interpret=interpret)
+
+
+def _fwd_v2(value_l, loc_l, attn_l, h, w, interpret):
+    out = _dense_level_pallas_v2_fwd(value_l, loc_l, attn_l, h, w,
+                                     interpret=interpret)
+    return out, (value_l, loc_l, attn_l)
+
+
+dense_level_pallas_v2.defvjp(_fwd_v2, _bwd)
