@@ -14,7 +14,10 @@ identical budget, then report
 Writes AGREEMENT.json at the repo root; bench.py folds it into the headline
 JSON as `fast_vs_exact_agreement`.
 
-Run on CPU: PYTHONPATH= JAX_PLATFORMS=cpu python tools/fast_exact_agreement.py
+Small regime (CPU-runnable sanity):
+  PYTHONPATH= JAX_PLATFORMS=cpu python tools/fast_exact_agreement.py
+Flagship regime (VERDICT r2 weak #2 — meaningful scale, run on TPU):
+  python tools/fast_exact_agreement.py 2000 flagship
 """
 from __future__ import annotations
 
@@ -27,17 +30,35 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 350
-H, W = 96, 128
-N_TRAIN, N_EVAL = 24, 16
-BATCH = 4
+SCALE = sys.argv[2] if len(sys.argv) > 2 else "small"
+if SCALE == "flagship":
+    # flagship-geometry regime: real input resolution class, full
+    # depth/width (288 dim, 6+6 layers, 8 heads) so the window-size vs
+    # object-scale trade-off matches deployment
+    H, W = 416, 544
+    N_TRAIN, N_EVAL = 48, 24
+    BATCH = 4
+    N_MAX, BOX_LO, BOX_HI = 8, 30, 110
+    MODEL_OVER = {"enc_layers": 6, "dec_layers": 6, "hidden_dim": 288,
+                  "nheads": 8, "dim_feedforward": 1024, "num_queries": 48}
+    MAX_OBJ = 10
+else:
+    H, W = 96, 128
+    N_TRAIN, N_EVAL = 24, 16
+    BATCH = 4
+    N_MAX, BOX_LO, BOX_HI = 4, 18, 40
+    MODEL_OVER = {"enc_layers": 2, "dec_layers": 2, "hidden_dim": 96,
+                  "nheads": 4, "dim_feedforward": 128, "num_queries": 12}
+    MAX_OBJ = 6
 
 
-def make_scene(rng, n_max=4):
+def make_scene(rng, n_max=None):
+    n_max = N_MAX if n_max is None else n_max
     img = rng.normal(0.0, 0.3, (H, W, 3)).astype(np.float32)
     n = rng.randint(1, n_max + 1)
     boxes = []
     for _ in range(n):
-        bw, bh = rng.randint(18, 40), rng.randint(18, 40)
+        bw, bh = rng.randint(BOX_LO, BOX_HI), rng.randint(BOX_LO, BOX_HI)
         x = rng.randint(0, W - bw)
         y = rng.randint(0, H - bh)
         img[y:y + bh, x:x + bw] += rng.uniform(1.0, 2.0) * np.array(
@@ -46,7 +67,8 @@ def make_scene(rng, n_max=4):
     return img, np.array(boxes, np.float32)
 
 
-def to_targets(boxes_list, max_obj=6):
+def to_targets(boxes_list, max_obj=None):
+    max_obj = MAX_OBJ if max_obj is None else max_obj
     import jax.numpy as jnp
     from trackformer_tpu.structures import empty_targets
     b = len(boxes_list)
@@ -74,15 +96,16 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
     from trackformer_tpu.utils.config import load_config, nested_namespace
 
     over = {
-        "enc_layers": 2, "dec_layers": 2, "hidden_dim": 96, "nheads": 4,
-        "dim_feedforward": 128, "num_queries": 12, "dataset": "mot",
+        **MODEL_OVER, "dataset": "mot",
         "aux_loss": True, "lr": 4e-4, "lr_backbone": 4e-4, "dropout": 0.0,
         "tpu.encoder_attention": ("windowed" if mode == "fast" else "msda"),
         "tpu.decoder_attention": "msda",
     }
     cfg = load_config("train.yaml", ["deformable"], over)
-    cfg["tpu"]["compute_dtype"] = "float32"
-    cfg["tpu"]["remat"] = False
+    cfg["tpu"]["compute_dtype"] = ("bfloat16" if SCALE == "flagship"
+                                  else "float32")
+    cfg["tpu"]["remat"] = SCALE == "flagship"
+    cfg["tpu"]["scan_layers"] = SCALE == "flagship"
     args = nested_namespace(cfg)
     args.lr_drop_steps = [int(STEPS * 0.8)]
     model, crit_cfg, post, _ = build_model(args)
@@ -187,6 +210,8 @@ def main():
     result = {
         "task": (f"synthetic {W}x{H} rectangle detection, {N_TRAIN} train /"
                  f" {N_EVAL} held-out scenes, {STEPS} steps each mode"),
+        "agreement_scale": SCALE,
+        "model": dict(MODEL_OVER),
         "exact_map": round(exact_ap, 4),
         "fast_map": round(fast_ap, 4),
         "exact_ap50": round(exact_ap50, 4),
