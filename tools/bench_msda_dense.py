@@ -90,17 +90,26 @@ def bench(mode, sigma):
     return dt
 
 
-@functools.partial(jax.jit, static_argnames=("lvl", "impl"))
-def chain_level(value, loc, attn, lvl, impl):
-    from trackformer_tpu.ops.msda_dense import (dense_level_pallas,
-                                                dense_level_pallas_v2)
+@functools.partial(jax.jit, static_argnames=("lvl", "impl", "tq", "rows"))
+def chain_level(value, loc, attn, lvl, impl, tq=None, rows=None):
+    from trackformer_tpu.ops.msda_dense import (_dense_level_pallas_fwd,
+                                                _dense_level_pallas_v2_fwd)
     h, w = SHAPES[lvl]
     off = sum(hh * ww for hh, ww in SHAPES[:lvl])
     v_l = value[:, off:off + h * w]
-    fn = {"v1": dense_level_pallas, "v2": dense_level_pallas_v2}[impl]
+
+    def fn(v, l, a):
+        if impl == "v1":
+            return _dense_level_pallas_fwd(v, l, a, h, w)
+        kw = {}
+        if tq:
+            kw["tq"] = tq
+        if rows:
+            kw["rows_per_tile"] = rows
+        return _dense_level_pallas_v2_fwd(v, l, a, h, w, **kw)
 
     def body(carry, _):
-        out = fn(v_l, loc[:, :, :, lvl], carry, h, w, False)
+        out = fn(v_l, loc[:, :, :, lvl], carry)
         delta = jnp.tanh(out[..., 0]).reshape(N, S, M, 1) * 1e-6
         return jax.nn.softmax(carry + delta, -1), out[0, 0, 0, 0]
 
@@ -108,12 +117,12 @@ def chain_level(value, loc, attn, lvl, impl):
     return final[0, 0, 0, 0], outs
 
 
-def bench_level(lvl, impl, sigma):
+def bench_level(lvl, impl, sigma, tq=None, rows=None):
     value, loc, attn = make_inputs(sigma=sigma)
-    r = chain_level(value, loc, attn, lvl, impl)[0]
+    r = chain_level(value, loc, attn, lvl, impl, tq, rows)[0]
     float(r)
     t0 = time.perf_counter()
-    r = chain_level(value, loc, attn, lvl, impl)[0]
+    r = chain_level(value, loc, attn, lvl, impl, tq, rows)[0]
     float(r)
     return (time.perf_counter() - t0) / K
 
@@ -122,9 +131,25 @@ if __name__ == "__main__":
     import sys
     args = sys.argv[1:]
     per_level = "--levels" in args
-    sigmas = [float(s) for s in args if s != "--levels"] or [0.02]
+    tile_grid = "--tiles" in args
+    sigmas = [float(s) for s in args
+              if s not in ("--levels", "--tiles")] or [0.02]
     for sigma in sigmas:
-        if per_level:
+        if tile_grid:
+            for lvl in (0, 1):
+                for tq in (256, 512, 1024):
+                    for rows in (4, 8, 16):
+                        try:
+                            dt = bench_level(lvl, "v2", sigma, tq, rows)
+                        except Exception as e:
+                            print(f"sigma={sigma:5.3f} L{lvl} tq={tq} "
+                                  f"rows={rows}: FAIL "
+                                  f"{type(e).__name__}", flush=True)
+                            continue
+                        print(f"sigma={sigma:5.3f} L{lvl} tq={tq} "
+                              f"rows={rows}: {dt * 1e3:8.2f} ms",
+                              flush=True)
+        elif per_level:
             for lvl in range(L):
                 for impl in ("v1", "v2"):
                     dt = bench_level(lvl, impl, sigma)

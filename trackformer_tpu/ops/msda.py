@@ -126,12 +126,16 @@ def _dense_level_out(value_l, loc_l, attn_l, h, w):
 # encoder level — where Lq is the full token count — stay on the gather)
 DENSE_CELL_BUDGET = 32_000_000
 
-# Pallas generated-LHS-matmul path (ops/msda_dense.py) for mid-size levels
-# that overflow the XLA dense budget: replaces the level's Lq*M*P*4 gather
-# rows with MXU work whose cost scales with the CELL count, so it only
-# pays off while H*W stays moderate. At flagship encoder scale this moves
-# levels 1-3 (4200/1050/273 cells) off the gather (75% of its rows).
+# Pallas generated-LHS-matmul paths (ops/msda_dense.py) for levels that
+# overflow the XLA dense budget.  v2 (block-skipping, row tiles) needs
+# query raster-locality to skip work, which holds when queries are the
+# level tokens themselves (the encoder: Lq >= PALLAS_V2_MIN_QUERIES);
+# there it covers every level incl. the finest.  v1 (plain tiling) is
+# locality-independent and handles mid-size levels otherwise.  Measured
+# v5e flagship-encoder op: gather 53.5 ms -> v2 all levels 22.7 ms.
 PALLAS_DENSE_MAX_CELLS = 8192
+PALLAS_V2_MAX_CELLS = 32768
+PALLAS_V2_MIN_QUERIES = 4096
 
 
 def _on_tpu() -> bool:
@@ -169,11 +173,17 @@ def ms_deform_attn(value: jnp.ndarray,
         pallas_dense = _on_tpu()
     dense_levels = [i for i, (h, w) in enumerate(spatial_shapes)
                     if lq * m * h * w <= dense_cell_budget]
-    pallas_levels = [i for i, (h, w) in enumerate(spatial_shapes)
-                    if pallas_dense and i not in dense_levels
-                    and h * w <= PALLAS_DENSE_MAX_CELLS]
+    v2_levels = [i for i, (h, w) in enumerate(spatial_shapes)
+                 if pallas_dense and i not in dense_levels
+                 and lq >= PALLAS_V2_MIN_QUERIES
+                 and h * w <= PALLAS_V2_MAX_CELLS]
+    v1_levels = [i for i, (h, w) in enumerate(spatial_shapes)
+                 if pallas_dense and i not in dense_levels
+                 and i not in v2_levels
+                 and h * w <= PALLAS_DENSE_MAX_CELLS]
     gather_levels = [i for i in range(l)
-                     if i not in dense_levels and i not in pallas_levels]
+                     if i not in dense_levels and i not in v2_levels
+                     and i not in v1_levels]
 
     acc = jnp.zeros((n, lq, m, d), jnp.float32)
     offset = 0
@@ -183,9 +193,12 @@ def ms_deform_attn(value: jnp.ndarray,
                 value[:, offset:offset + h * w],
                 sampling_locations[:, :, :, i],
                 attention_weights[:, :, :, i], h, w)
-        elif i in pallas_levels:
-            from .msda_dense import dense_level_pallas
-            acc = acc + dense_level_pallas(
+        elif i in v2_levels or i in v1_levels:
+            from .msda_dense import (dense_level_pallas,
+                                     dense_level_pallas_v2)
+            fn = (dense_level_pallas_v2 if i in v2_levels
+                  else dense_level_pallas)
+            acc = acc + fn(
                 value[:, offset:offset + h * w],
                 sampling_locations[:, :, :, i],
                 attention_weights[:, :, :, i], h, w, not _on_tpu())

@@ -93,27 +93,33 @@ def _kernel_v2(flags_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, n_points,
                 wx_p.append(
                     a * jnp.maximum(0.0, 1.0 - jnp.abs(x - wcoord)))
                 y_p.append(q[:, base + n_points + p:base + n_points + p + 1])
-            segs = []
+            acc = None
             for r in range(n_rows):
+                # per-row weight segment, immediately contracted against
+                # that row's value slab (concatenating segments into a
+                # (TQ, TS) operand costs more VMEM copies than the whole
+                # weight build)
                 hrow = row0 + r
                 seg = None
                 for p in range(n_points):
                     wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_p[p] - hrow))
                     term = wy * wx_p[p]                           # (TQ, Wp)
                     seg = term if seg is None else seg + term
-                segs.append(seg)
-            acc = jnp.concatenate(segs, axis=1)                   # (TQ, TS)
-            v = v_ref[0, :, m * d_head:(m + 1) * d_head]          # (TS, D)
-            tiles.append(jnp.dot(acc.astype(v.dtype), v,
-                                 preferred_element_type=jnp.float32))
+                v = v_ref[0, r * wp:(r + 1) * wp,
+                          m * d_head:(m + 1) * d_head]            # (Wp, D)
+                dot = jnp.dot(seg.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32)
+                acc = dot if acc is None else acc + dot
+            tiles.append(acc)
         o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "tq", "rows_per_tile",
-                                    "interpret"))
+                                    "interpret", "_force_flags"))
 def _dense_level_pallas_v2_fwd(value_l, loc_l, attn_l, h, w,
-                               tq=256, rows_per_tile=None, interpret=False):
+                               tq=256, rows_per_tile=None, interpret=False,
+                               _force_flags=None):
     """Block-skipping variant.  Same contract as `_dense_level_pallas_fwd`.
 
     value_l (N, H*W, M, D); loc_l (N, Lq, M, P, 2) in [0,1];
@@ -160,6 +166,8 @@ def _dense_level_pallas_v2_fwd(value_l, loc_l, attn_l, h, w,
     # padded queries (all-zero qinfo) decode to y = -0.5 -> rows {-1, 0};
     # harmless: attn is zero there
     flags = overlap.astype(jnp.int32).reshape(-1)
+    if _force_flags is not None:  # benchmarking only: 0 = pure overhead
+        flags = jnp.full_like(flags, _force_flags)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
