@@ -13,7 +13,8 @@ import pytest
 from trackformer_tpu.ops.msda import ms_deform_attn, ms_deform_attn_reference
 from trackformer_tpu.ops.msda_dense import (_level_out_gather,
                                             dense_level_pallas,
-                                            dense_level_pallas_v2)
+                                            dense_level_pallas_v2,
+                                            dense_level_pallas_v3)
 
 SHAPES = ((9, 13), (5, 7))
 S = sum(h * w for h, w in SHAPES)
@@ -112,6 +113,47 @@ def test_pallas_v2_matches_reference(lvl, oob):
                              attn[:, :, :, lvl], h, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("oob", [False, True])
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_pallas_v3_matches_reference(lvl, oob):
+    """Sorted + x-windowed variant: the query permutation must invert
+    exactly and the window fallback must preserve OOB contributions."""
+    value, loc, attn = make_inputs(seed=29, oob=oob)
+    h, w = SHAPES[lvl]
+    got = dense_level_pallas_v3(level_slices(value)[lvl], loc[:, :, :, lvl],
+                                attn[:, :, :, lvl], h, w, True)
+    want = _level_out_gather(level_slices(value)[lvl], loc[:, :, :, lvl],
+                             attn[:, :, :, lvl], h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_v3_window_paths():
+    """Tiny cw forces a mix of windowed and full-fallback q-tiles on a
+    wide level; both paths must agree with the gather formulation."""
+    from trackformer_tpu.ops.msda_dense import _dense_level_pallas_v3_fwd
+    rng = np.random.default_rng(31)
+    h, w = 9, 200  # wp = 256 > cw: window machinery active
+    lq, m, d, p = 70, 2, 4, 4
+    value = jnp.asarray(rng.standard_normal((1, h * w, m, d)), jnp.float32)
+    base = np.arange(lq) % (h * w)
+    by = (base // w + 0.5) / h
+    bx = (base % w + 0.5) / w
+    # half the queries tight (fit cw), half spread wide (fallback)
+    spread = np.where(np.arange(lq)[None, :, None, None, None] % 2 == 0,
+                      0.02, 0.4)
+    loc = np.stack([bx, by], -1)[None, :, None, None, :] \
+        + rng.normal(0, 1, (1, lq, m, p, 2)) * spread
+    loc = jnp.asarray(loc, jnp.float32)
+    attn = jnp.asarray(rng.uniform(0.1, 1.0, (1, lq, m, p)), jnp.float32)
+    got = _dense_level_pallas_v3_fwd(value, loc, attn, h, w, tq=16,
+                                     rows_per_tile=2, cw=128,
+                                     interpret=True)
+    want = _level_out_gather(value, loc, attn, h, w)
+    np.testing.assert_allclose(np.asarray(got).reshape(1, lq, m, d),
+                               np.asarray(want), atol=2e-5, rtol=1e-5)
 
 
 def test_pallas_v2_small_tiles_skipping():

@@ -237,6 +237,200 @@ def _kernel(qinfo_ref, v_ref, o_ref, *, ts, w_level, n_points):
         o_ref[0] = o_ref[0] + tile
 
 
+# ---------------------------------------------------------------------------
+# v3: v2 + spatially sorted queries + x-windowed compute
+#
+# Raster-consecutive query tiles have perfect ROW locality but span every
+# COLUMN, so v2 can only skip in y.  v3 first sorts queries by their mean
+# sample position on an 8x8-bucket tile-raster (image-space locality is
+# level-independent, so one permutation serves all levels), making each
+# query tile compact in BOTH axes.  Each (q-tile) then gets a CW-column
+# window [xstart, xstart+CW): when every nonzero hat column fits (the
+# common case; checked exactly outside the kernel), the weight build and
+# the dot run on (TQ, CW) instead of (TQ, Wp); otherwise that q-tile
+# falls back to the full-width v2 body — numerics identical either way.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v3(scal_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, cw, n_points,
+               n_heads, d_head):
+    """Grid (N, nQ, nS).  scal_ref int32 layout:
+    [flags (N*nQ*nS) | fits (N*nQ) | xstart (N*nQ)]."""
+    n_i = pl.program_id(0)
+    q_i = pl.program_id(1)
+    s_i = pl.program_id(2)
+    n_n = pl.num_programs(0)
+    n_q = pl.num_programs(1)
+    n_s = pl.num_programs(2)
+
+    @pl.when(s_i == 0)
+    def _init():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    flag = scal_ref[(n_i * n_q + q_i) * n_s + s_i]
+    nq_i = n_i * n_q + q_i
+    n_rows = ts // wp
+
+    def body(width, x0):
+        """One full compute body over columns [x0, x0+width)."""
+        row0 = (s_i * n_rows).astype(jnp.float32)
+        wcoord = (x0 + jax.lax.broadcasted_iota(
+            jnp.int32, (1, width), 1)).astype(jnp.float32)
+        q = qinfo_ref[0]  # (TQ, M*3P)
+        tiles = []
+        for m in range(n_heads):
+            base = m * 3 * n_points
+            wx_p, y_p = [], []
+            for p in range(n_points):
+                x = q[:, base + p:base + p + 1]                    # (TQ, 1)
+                a = q[:, base + 2 * n_points + p:base + 2 * n_points + p + 1]
+                wx_p.append(
+                    a * jnp.maximum(0.0, 1.0 - jnp.abs(x - wcoord)))
+                y_p.append(q[:, base + n_points + p:base + n_points + p + 1])
+            acc = None
+            for r in range(n_rows):
+                hrow = row0 + r
+                seg = None
+                for p in range(n_points):
+                    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_p[p] - hrow))
+                    term = wy * wx_p[p]                        # (TQ, width)
+                    seg = term if seg is None else seg + term
+                v = v_ref[0, pl.ds(r * wp + x0, width),
+                          m * d_head:(m + 1) * d_head]         # (width, D)
+                dot = jnp.dot(seg.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32)
+                acc = dot if acc is None else acc + dot
+            tiles.append(acc)
+        o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
+
+    if cw < wp:
+        fits = scal_ref[n_n * n_q * n_s + nq_i]
+        xstart = scal_ref[n_n * n_q * (n_s + 1) + nq_i]
+
+        @pl.when((flag != 0) & (fits != 0))
+        def _windowed():
+            body(cw, xstart)
+
+        @pl.when((flag != 0) & (fits == 0))
+        def _full():
+            body(wp, 0)
+    else:
+        @pl.when(flag != 0)
+        def _full():
+            body(wp, 0)
+
+
+def spatial_sort_perm(loc_all, h, w, bucket=8):
+    """Permutation sorting queries by their mean sample position on an
+    (h/bucket, w/bucket) tile raster.  loc_all (N, Lq, M, P, 2) in [0,1]
+    at ANY level (image-space locality is level-independent)."""
+    xm = jnp.clip(jnp.mean(loc_all[..., 0], axis=(2, 3)) * w, 0, w - 1)
+    ym = jnp.clip(jnp.mean(loc_all[..., 1], axis=(2, 3)) * h, 0, h - 1)
+    ntx = -(-w // bucket)
+    key = (ym.astype(jnp.int32) // bucket) * ntx \
+        + xm.astype(jnp.int32) // bucket
+    return jnp.argsort(key, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "tq", "rows_per_tile", "cw",
+                                    "interpret", "_force_flags"))
+def _dense_level_pallas_v3_fwd(value_l, loc_l, attn_l, h, w, tq=256,
+                               rows_per_tile=None, cw=64, perm=None,
+                               interpret=False, _force_flags=None):
+    """v3: sorted queries + x-window.  Same contract/numerics as v2.
+    `perm` (N, Lq) overrides the internally computed spatial sort."""
+    n, c, m, d = value_l.shape
+    _, lq, _, p, _ = loc_l.shape
+    assert c == h * w, (c, h, w)
+    assert p <= P_UNROLL_MAX, p
+
+    wp = max(128, -(-w // 128) * 128)
+    cw = min(cw, wp)
+    if rows_per_tile is None:
+        rows_per_tile = max(1, 1024 // wp)
+    rows_per_tile = min(rows_per_tile, h)
+    ts = rows_per_tile * wp
+
+    if perm is None:
+        perm = spatial_sort_perm(loc_l, h, w)
+    loc_s = jnp.take_along_axis(loc_l, perm[:, :, None, None, None], axis=1)
+    attn_s = jnp.take_along_axis(attn_l, perm[:, :, None, None], axis=1)
+
+    x = loc_s[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc_s[..., 1].astype(jnp.float32) * h - 0.5
+    qinfo = jnp.concatenate(
+        [x, y, attn_s.astype(jnp.float32)], axis=-1)  # (N, Lq, M, 3P)
+    qinfo = qinfo.reshape(n, lq, m * 3 * p)
+    qinfo = _pad_to(qinfo, 1, tq)
+    lqp = qinfo.shape[1]
+    n_q = lqp // tq
+
+    v = value_l.reshape(n, h, w, m * d)
+    v = _pad_to(v, 2, wp) if wp != w else v
+    v = v.reshape(n, h * wp, m * d)
+    v = _pad_to(v, 1, ts)
+    cp = v.shape[1]
+    n_s = cp // ts
+
+    # y flags (as v2)
+    y_t = _pad_to(y.reshape(n, lq, m * p), 1, tq) \
+        .reshape(n, n_q, tq * m * p)
+    ymin = jnp.floor(jnp.min(y_t, axis=2)) - 1.0
+    ymax = jnp.floor(jnp.max(y_t, axis=2)) + 1.0
+    r0 = jnp.arange(n_s, dtype=jnp.float32) * rows_per_tile
+    overlap = ((ymax[:, :, None] >= r0[None, None, :])
+               & (ymin[:, :, None] <= r0[None, None, :] + rows_per_tile - 1))
+    flags = overlap.astype(jnp.int32)
+    if _force_flags is not None:
+        flags = jnp.full_like(flags, _force_flags)
+
+    # x windows: nonzero hat columns of a sample lie in
+    # {floor(x), floor(x)+1}; the q-tile fits when the occupied column
+    # range (clipped to the real cells) spans <= CW
+    x_t = _pad_to(x.reshape(n, lq, m * p), 1, tq).reshape(n, n_q, tq * m * p)
+    xmin_f = jnp.floor(jnp.min(x_t, axis=2)).astype(jnp.int32)
+    xmax_f = jnp.floor(jnp.max(x_t, axis=2)).astype(jnp.int32) + 1
+    left = jnp.maximum(0, xmin_f)
+    right = jnp.minimum(wp - 1, xmax_f)
+    fits = ((right - left + 1) <= cw).astype(jnp.int32)
+    xstart = jnp.clip(left, 0, wp - cw).astype(jnp.int32)
+
+    scal = jnp.concatenate(
+        [flags.reshape(-1), fits.reshape(-1), xstart.reshape(-1)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, n_q, n_s),
+        in_specs=[
+            pl.BlockSpec((1, tq, m * 3 * p), lambda i, j, k, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ts, m * d), lambda i, j, k, *_: (i, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, m * d), lambda i, j, k, *_: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_v3, ts=ts, wp=wp, cw=cw, n_points=p,
+                          n_heads=m, d_head=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, lqp, m * d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * lqp * cp * m * (d + p),
+            bytes_accessed=(qinfo.size * 4 + v.size * v.dtype.itemsize
+                            + n * lqp * m * d * 4),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, qinfo, v)
+    out = out[:, :lq]
+    inv = jnp.argsort(perm, axis=1)
+    out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
+    return out.reshape(n, lq, m, d)
+
+
 def _pad_to(arr, axis, mult):
     size = arr.shape[axis]
     pad = (-size) % mult
@@ -371,3 +565,21 @@ def _fwd_v2(value_l, loc_l, attn_l, h, w, interpret):
 
 
 dense_level_pallas_v2.defvjp(_fwd_v2, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def dense_level_pallas_v3(value_l, loc_l, attn_l, h, w, interpret=False):
+    """Sorted + x-windowed variant of `dense_level_pallas_v2` (see
+    _kernel_v3): same exact semantics; compute scales with 2-D sampling
+    locality.  Gradients flow via the XLA gather formulation."""
+    return _dense_level_pallas_v3_fwd(value_l, loc_l, attn_l, h, w,
+                                      interpret=interpret)
+
+
+def _fwd_v3(value_l, loc_l, attn_l, h, w, interpret):
+    out = _dense_level_pallas_v3_fwd(value_l, loc_l, attn_l, h, w,
+                                     interpret=interpret)
+    return out, (value_l, loc_l, attn_l)
+
+
+dense_level_pallas_v3.defvjp(_fwd_v3, _bwd)
