@@ -130,6 +130,45 @@ def test_pallas_v3_matches_reference(lvl, oob):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("oob", [False, True])
+@pytest.mark.parametrize("lvl", [0, 1])
+def test_pallas_v4_matches_reference(lvl, oob):
+    """Compacted-grid variant: the dynamic [lo, hi] walk + manual DMA must
+    reproduce the gather numerics exactly, incl. OOB points whose corners
+    land outside every s-tile (empty walks)."""
+    from trackformer_tpu.ops.msda_dense import dense_level_pallas_v4
+    value, loc, attn = make_inputs(seed=41, oob=oob)
+    h, w = SHAPES[lvl]
+    got = dense_level_pallas_v4(level_slices(value)[lvl], loc[:, :, :, lvl],
+                                attn[:, :, :, lvl], h, w, True)
+    want = _level_out_gather(level_slices(value)[lvl], loc[:, :, :, lvl],
+                             attn[:, :, :, lvl], h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_v4_small_tiles_ranges():
+    """Multi-row-tile regime with clustered queries: each q-tile walks a
+    short proper subrange; compare against the gather formulation."""
+    from trackformer_tpu.ops.msda_dense import _dense_level_pallas_v4_fwd
+    rng = np.random.default_rng(43)
+    h, w = 12, 9
+    lq, m, d, p = 50, 2, 4, 4
+    value = jnp.asarray(rng.standard_normal((1, h * w, m, d)), jnp.float32)
+    base = (np.arange(lq) % (h * w))
+    by = (base // w + 0.5) / h
+    bx = (base % w + 0.5) / w
+    loc = np.stack([bx, by], -1)[None, :, None, None, :] \
+        + rng.normal(0, 0.03, (1, lq, m, p, 2))
+    loc = jnp.asarray(loc, jnp.float32)
+    attn = jnp.asarray(rng.uniform(0.1, 1.0, (1, lq, m, p)), jnp.float32)
+    got = _dense_level_pallas_v4_fwd(value, loc, attn, h, w, tq=8,
+                                     rows_per_tile=2, interpret=True)
+    want = _level_out_gather(value, loc, attn, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_pallas_v3_window_paths():
     """Tiny cw forces a mix of windowed and full-fallback q-tiles on a
     wide level; both paths must agree with the gather formulation."""

@@ -305,7 +305,10 @@ def _kernel_v3(scal_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, cw, n_points,
 
     if cw < wp:
         fits = scal_ref[n_n * n_q * n_s + nq_i]
-        xstart = scal_ref[n_n * n_q * (n_s + 1) + nq_i]
+        # host code aligns xstart down to a multiple of 8; Mosaic needs the
+        # static proof to vector.load a dynamic sublane offset
+        xstart = pl.multiple_of(
+            scal_ref[n_n * n_q * (n_s + 1) + nq_i], 8)
 
         @pl.when((flag != 0) & (fits != 0))
         def _windowed():
@@ -318,6 +321,173 @@ def _kernel_v3(scal_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, cw, n_points,
         @pl.when(flag != 0)
         def _full():
             body(wp, 0)
+
+
+# ---------------------------------------------------------------------------
+# v4: compacted grid + manual double-buffered DMA (encoder scale)
+#
+# v2's cost floor is its grid: (nQ, nS) steps each pay ~2-4 us of Mosaic
+# grid/pipelining overhead and DMA the s-tile whether or not the pair is
+# skipped — at flagship L0 that is 2200 steps for ~660 active pairs.  The
+# active s-tiles of a q-tile are a CONTIGUOUS range (the skip predicate is
+# an interval overlap in y), so v4 grids over q-tiles ONLY and walks
+# [lo_j, hi_j] with an in-kernel dynamic fori_loop, double-buffering the
+# value-tile DMAs from HBM by hand (pallas guide "Patterns: Double
+# Buffering").  Work and bytes moved both scale with the TRUE number of
+# active pairs; there is no per-skipped-pair cost at all.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, n_points,
+               n_heads, d_head, v_dtype):
+    """Grid (N, nQ).  ranges int32 layout [lo (N*nQ) | hi (N*nQ)], hi
+    inclusive; empty range encoded as lo > hi.  qinfo (1, TQ, M*3P) VMEM;
+    v_hbm (N, CP, M*D) unblocked (ANY/HBM); out (1, TQ, M*D) f32."""
+    n_i = pl.program_id(0)
+    q_i = pl.program_id(1)
+    n_q = pl.num_programs(1)
+    n_n = pl.num_programs(0)
+    nq_i = n_i * n_q + q_i
+    lo = ranges_ref[nq_i]
+    hi = ranges_ref[n_n * n_q + nq_i]
+    n_rows = ts // wp
+
+    o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    def scoped(scratch, sems):
+        def tile_dma(slot, k):
+            return pltpu.make_async_copy(
+                v_hbm.at[n_i, pl.ds(k * ts, ts), :],
+                scratch.at[slot], sems.at[slot])
+
+        @pl.when(lo <= hi)
+        def _warmup():
+            tile_dma(lo % 2, lo).start()
+
+        q = qinfo_ref[0]  # (TQ, M*3P)
+        wcoord = jax.lax.broadcasted_iota(
+            jnp.int32, (1, wp), 1).astype(jnp.float32)              # (1, Wp)
+
+        def loop(k, _):
+            slot = k % 2
+
+            @pl.when(k < hi)
+            def _prefetch():
+                tile_dma((k + 1) % 2, k + 1).start()
+
+            tile_dma(slot, k).wait()
+            row0 = (k * n_rows).astype(jnp.float32)
+            tiles = []
+            for m in range(n_heads):
+                base = m * 3 * n_points
+                wx_p, y_p = [], []
+                for p in range(n_points):
+                    x = q[:, base + p:base + p + 1]                 # (TQ, 1)
+                    a = q[:, base + 2 * n_points + p:
+                          base + 2 * n_points + p + 1]
+                    wx_p.append(
+                        a * jnp.maximum(0.0, 1.0 - jnp.abs(x - wcoord)))
+                    y_p.append(q[:, base + n_points + p:
+                                 base + n_points + p + 1])
+                acc = None
+                for r in range(n_rows):
+                    hrow = row0 + r
+                    seg = None
+                    for p in range(n_points):
+                        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_p[p] - hrow))
+                        term = wy * wx_p[p]                         # (TQ, Wp)
+                        seg = term if seg is None else seg + term
+                    v = scratch[slot, r * wp:(r + 1) * wp,
+                                m * d_head:(m + 1) * d_head]        # (Wp, D)
+                    dot = jnp.dot(seg.astype(v_dtype), v,
+                                  preferred_element_type=jnp.float32)
+                    acc = dot if acc is None else acc + dot
+                tiles.append(acc)
+            o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
+            return 0
+
+        jax.lax.fori_loop(lo, hi + 1, loop, 0)
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((2, ts, n_heads * d_head), v_dtype),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "tq", "rows_per_tile",
+                                    "interpret"))
+def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
+                               tq=256, rows_per_tile=None, interpret=False):
+    """Compacted-grid variant.  Same contract/numerics as v2."""
+    n, c, m, d = value_l.shape
+    _, lq, _, p, _ = loc_l.shape
+    assert c == h * w, (c, h, w)
+    assert p <= P_UNROLL_MAX, p
+
+    wp = max(128, -(-w // 128) * 128)
+    if rows_per_tile is None:
+        rows_per_tile = max(1, 1024 // wp)
+    rows_per_tile = min(rows_per_tile, h)
+    ts = rows_per_tile * wp
+
+    x = loc_l[..., 0].astype(jnp.float32) * w - 0.5
+    y = loc_l[..., 1].astype(jnp.float32) * h - 0.5
+    qinfo = jnp.concatenate(
+        [x, y, attn_l.astype(jnp.float32)], axis=-1)  # (N, Lq, M, 3P)
+    qinfo = qinfo.reshape(n, lq, m * 3 * p)
+    qinfo = _pad_to(qinfo, 1, tq)
+    lqp = qinfo.shape[1]
+    n_q = lqp // tq
+
+    v = value_l.reshape(n, h, w, m * d)
+    v = _pad_to(v, 2, wp) if wp != w else v
+    v = v.reshape(n, h * wp, m * d)
+    v = _pad_to(v, 1, ts)
+    cp = v.shape[1]
+    n_s = cp // ts
+
+    # contiguous active range per q-tile (same interval predicate as v2's
+    # flags): s-tile k rows [k*R, k*R+R-1] overlap [ymin, ymax] iff
+    # ceil((ymin-R+1)/R) <= k <= floor(ymax/R)
+    y_t = y.reshape(n, lq, m * p)
+    y_t = _pad_to(y_t, 1, tq).reshape(n, n_q, tq * m * p)
+    ymin = jnp.floor(jnp.min(y_t, axis=2)) - 1.0
+    ymax = jnp.floor(jnp.max(y_t, axis=2)) + 1.0
+    rr = float(rows_per_tile)
+    lo = jnp.clip(jnp.ceil((ymin - rr + 1.0) / rr), 0, n_s - 1)
+    hi = jnp.clip(jnp.floor(ymax / rr), -1, n_s - 1)
+    # fully out-of-range tile -> empty walk (lo=0, hi=-1)
+    ranges = jnp.concatenate(
+        [lo.reshape(-1), hi.reshape(-1)]).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, n_q),
+        in_specs=[
+            pl.BlockSpec((1, tq, m * 3 * p), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, tq, m * d), lambda i, j, *_: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_v4, ts=ts, wp=wp, n_points=p,
+                          n_heads=m, d_head=d, v_dtype=value_l.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, lqp, m * d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * lqp * cp * m * (d + p),
+            bytes_accessed=(qinfo.size * 4 + v.size * v.dtype.itemsize
+                            + n * lqp * m * d * 4),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(ranges, qinfo, v)
+    return out[:, :lq].reshape(n, lq, m, d)
 
 
 def spatial_sort_perm(loc_all, h, w, bucket=8):
@@ -391,10 +561,11 @@ def _dense_level_pallas_v3_fwd(value_l, loc_l, attn_l, h, w, tq=256,
     x_t = _pad_to(x.reshape(n, lq, m * p), 1, tq).reshape(n, n_q, tq * m * p)
     xmin_f = jnp.floor(jnp.min(x_t, axis=2)).astype(jnp.int32)
     xmax_f = jnp.floor(jnp.max(x_t, axis=2)).astype(jnp.int32) + 1
-    left = jnp.maximum(0, xmin_f)
+    left = (jnp.maximum(0, xmin_f) // 8) * 8  # sublane-aligned (Mosaic
+    # requires a provable multiple-of-8 dynamic start; see _kernel_v3)
     right = jnp.minimum(wp - 1, xmax_f)
     fits = ((right - left + 1) <= cw).astype(jnp.int32)
-    xstart = jnp.clip(left, 0, wp - cw).astype(jnp.int32)
+    xstart = jnp.clip(left, 0, (wp - cw) // 8 * 8).astype(jnp.int32)
 
     scal = jnp.concatenate(
         [flags.reshape(-1), fits.reshape(-1), xstart.reshape(-1)])
@@ -583,3 +754,22 @@ def _fwd_v3(value_l, loc_l, attn_l, h, w, interpret):
 
 
 dense_level_pallas_v3.defvjp(_fwd_v3, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def dense_level_pallas_v4(value_l, loc_l, attn_l, h, w, interpret=False):
+    """Compacted-grid variant of `dense_level_pallas_v2` (see _kernel_v4):
+    same exact semantics; grid scales with q-tiles only and value tiles are
+    hand-DMA'd over each tile's contiguous active range.  Gradients flow
+    via the XLA gather formulation."""
+    return _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
+                                      interpret=interpret)
+
+
+def _fwd_v4(value_l, loc_l, attn_l, h, w, interpret):
+    out = _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
+                                     interpret=interpret)
+    return out, (value_l, loc_l, attn_l)
+
+
+dense_level_pallas_v4.defvjp(_fwd_v4, _bwd)
