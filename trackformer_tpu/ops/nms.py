@@ -30,8 +30,12 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         sup_new = sup_new.at[idx].set(False)
         return keep, suppressed | sup_new
 
+    # fully unrolled: n is a small static slot count (<=128) and each step
+    # is a handful of vector ops, so the sequential fori_loop was pure
+    # per-iteration dispatch latency; unrolling fuses it into one kernel
     keep, _ = jax.lax.fori_loop(
-        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool)))
+        0, n, body, (jnp.zeros((n,), bool), jnp.zeros((n,), bool)),
+        unroll=True)
     return keep
 
 
@@ -60,5 +64,6 @@ def greedy_assign_by_column(score_matrix: jnp.ndarray,
         return assigned, taken
 
     assigned, _ = jax.lax.fori_loop(
-        0, c, body, (jnp.zeros((r,), bool), jnp.zeros((r,), bool)))
+        0, c, body, (jnp.zeros((r,), bool), jnp.zeros((r,), bool)),
+        unroll=8)
     return assigned

@@ -237,7 +237,8 @@ def _reid_impl(state: TrackerState, det_boxes, det_scores, det_hs,
 
         revive_det, _ = jax.lax.fori_loop(
             0, s, body,
-            (jnp.full((s,), -1, jnp.int32), jnp.zeros_like(det_keep)))
+            (jnp.full((s,), -1, jnp.int32), jnp.zeros_like(det_keep)),
+            unroll=True)
     else:
         # hs-embed L2 distance + optimal assignment (reference :212-230)
         diff = state.hs[:, None] - det_hs[None]
