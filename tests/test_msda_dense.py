@@ -147,9 +147,12 @@ def test_pallas_v4_matches_reference(lvl, oob):
                                atol=2e-5, rtol=1e-5)
 
 
-def test_pallas_v4_small_tiles_ranges():
+@pytest.mark.parametrize("cw", [None, 8, 64])
+def test_pallas_v4_small_tiles_ranges(cw):
     """Multi-row-tile regime with clustered queries: each q-tile walks a
-    short proper subrange; compare against the gather formulation."""
+    short proper subrange (and with cw set, a multi-chunk x-walk whose
+    chunk-straddling hat supports must not double count); compare against
+    the gather formulation."""
     from trackformer_tpu.ops.msda_dense import _dense_level_pallas_v4_fwd
     rng = np.random.default_rng(43)
     h, w = 12, 9
@@ -163,7 +166,49 @@ def test_pallas_v4_small_tiles_ranges():
     loc = jnp.asarray(loc, jnp.float32)
     attn = jnp.asarray(rng.uniform(0.1, 1.0, (1, lq, m, p)), jnp.float32)
     got = _dense_level_pallas_v4_fwd(value, loc, attn, h, w, tq=8,
-                                     rows_per_tile=2, interpret=True)
+                                     rows_per_tile=2, cw=cw, interpret=True)
+    want = _level_out_gather(value, loc, attn, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_v4_wide_spread_multichunk():
+    """Queries spread across the full width force multi-chunk x-walks and
+    full-height y-walks simultaneously; exactness must hold."""
+    from trackformer_tpu.ops.msda_dense import _dense_level_pallas_v4_fwd
+    rng = np.random.default_rng(47)
+    h, w = 7, 150  # wp = 256: several 64-wide chunks, zero-padded tail
+    lq, m, d, p = 33, 2, 4, 4
+    value = jnp.asarray(rng.standard_normal((1, h * w, m, d)), jnp.float32)
+    loc = jnp.asarray(rng.uniform(-0.2, 1.2, (1, lq, m, p, 2)), jnp.float32)
+    attn = jnp.asarray(rng.uniform(0.1, 1.0, (1, lq, m, p)), jnp.float32)
+    got = _dense_level_pallas_v4_fwd(value, loc, attn, h, w, tq=16,
+                                     rows_per_tile=2, cw=64, interpret=True)
+    want = _level_out_gather(value, loc, attn, h, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_v4_sorted_chunked():
+    """spatial_sort_perm + x-chunk walk: sorted tiling must invert exactly
+    and chunk ownership must stay exact under the permutation."""
+    from trackformer_tpu.ops.msda_dense import (_dense_level_pallas_v4_fwd,
+                                                spatial_sort_perm)
+    rng = np.random.default_rng(53)
+    h, w = 10, 140  # wp = 256
+    lq, m, d, p = 60, 2, 4, 4
+    value = jnp.asarray(rng.standard_normal((1, h * w, m, d)), jnp.float32)
+    base = (np.arange(lq) * 37) % (h * w)  # scrambled raster positions
+    by = (base // w + 0.5) / h
+    bx = (base % w + 0.5) / w
+    loc = np.stack([bx, by], -1)[None, :, None, None, :] \
+        + rng.normal(0, 0.02, (1, lq, m, p, 2))
+    loc = jnp.asarray(loc, jnp.float32)
+    attn = jnp.asarray(rng.uniform(0.1, 1.0, (1, lq, m, p)), jnp.float32)
+    perm = spatial_sort_perm(loc, h, w)
+    got = _dense_level_pallas_v4_fwd(value, loc, attn, h, w, tq=16,
+                                     rows_per_tile=2, cw=64, perm=perm,
+                                     interpret=True)
     want = _level_out_gather(value, loc, attn, h, w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)

@@ -137,6 +137,13 @@ PALLAS_DENSE_MAX_CELLS = 8192
 PALLAS_V2_MAX_CELLS = 32768
 PALLAS_V2_MIN_QUERIES = 4096
 
+# which block-skipping kernel generation serves the "v2 levels":
+# "v2" = (nQ, nS) grid with scalar flags, "v4" = compacted (N, nQ) grid
+# with an in-kernel dynamic range walk + manual double-buffered DMA.
+# Module-level so benches can flip it; read at trace time — flipping it
+# after a same-shape call requires ms_deform_attn.clear_cache().
+PALLAS_SKIP_IMPL = "v2"
+
 
 def _on_tpu() -> bool:
     try:
@@ -195,9 +202,11 @@ def ms_deform_attn(value: jnp.ndarray,
                 attention_weights[:, :, :, i], h, w)
         elif i in v2_levels or i in v1_levels:
             from .msda_dense import (dense_level_pallas,
-                                     dense_level_pallas_v2)
-            fn = (dense_level_pallas_v2 if i in v2_levels
-                  else dense_level_pallas)
+                                     dense_level_pallas_v2,
+                                     dense_level_pallas_v4)
+            skip_fn = (dense_level_pallas_v4 if PALLAS_SKIP_IMPL == "v4"
+                       else dense_level_pallas_v2)
+            fn = skip_fn if i in v2_levels else dense_level_pallas
             acc = acc + fn(
                 value[:, offset:offset + h * w],
                 sampling_locations[:, :, :, i],

@@ -338,11 +338,16 @@ def _kernel_v3(scal_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, cw, n_points,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, n_points,
+def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, cw, n_points,
                n_heads, d_head, v_dtype):
-    """Grid (N, nQ).  ranges int32 layout [lo (N*nQ) | hi (N*nQ)], hi
-    inclusive; empty range encoded as lo > hi.  qinfo (1, TQ, M*3P) VMEM;
-    v_hbm (N, CP, M*D) unblocked (ANY/HBM); out (1, TQ, M*D) f32."""
+    """Grid (N, nQ).  ranges int32 layout [lo | hi | xlo | xhi] (each
+    N*nQ), hi/xhi inclusive; empty range encoded as lo > hi.  qinfo
+    (1, TQ, M*3P) VMEM; v_hbm (N, CP, M*D) unblocked (ANY/HBM); out
+    (1, TQ, M*D) f32.  The y-walk [lo, hi] double-buffers value-tile
+    DMAs; each y-tile runs an x-chunk walk [xlo, xhi] over CW-column
+    windows (one shared compute body — every cell column is owned by
+    exactly one chunk, so chunk-straddling hat supports never double
+    count)."""
     n_i = pl.program_id(0)
     q_i = pl.program_id(1)
     n_q = pl.num_programs(1)
@@ -350,6 +355,8 @@ def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, n_points,
     nq_i = n_i * n_q + q_i
     lo = ranges_ref[nq_i]
     hi = ranges_ref[n_n * n_q + nq_i]
+    xlo = ranges_ref[2 * n_n * n_q + nq_i]
+    xhi = ranges_ref[3 * n_n * n_q + nq_i]
     n_rows = ts // wp
 
     o_ref[0] = jnp.zeros_like(o_ref[0])
@@ -365,8 +372,8 @@ def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, n_points,
             tile_dma(lo % 2, lo).start()
 
         q = qinfo_ref[0]  # (TQ, M*3P)
-        wcoord = jax.lax.broadcasted_iota(
-            jnp.int32, (1, wp), 1).astype(jnp.float32)              # (1, Wp)
+        chunk_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, cw), 1).astype(jnp.float32)              # (1, CW)
 
         def loop(k, _):
             slot = k % 2
@@ -377,33 +384,41 @@ def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, n_points,
 
             tile_dma(slot, k).wait()
             row0 = (k * n_rows).astype(jnp.float32)
-            tiles = []
-            for m in range(n_heads):
-                base = m * 3 * n_points
-                wx_p, y_p = [], []
-                for p in range(n_points):
-                    x = q[:, base + p:base + p + 1]                 # (TQ, 1)
-                    a = q[:, base + 2 * n_points + p:
-                          base + 2 * n_points + p + 1]
-                    wx_p.append(
-                        a * jnp.maximum(0.0, 1.0 - jnp.abs(x - wcoord)))
-                    y_p.append(q[:, base + n_points + p:
-                                 base + n_points + p + 1])
-                acc = None
-                for r in range(n_rows):
-                    hrow = row0 + r
-                    seg = None
+
+            def xloop(c, _c):
+                x0 = pl.multiple_of(c * cw, 8)
+                wcoord = x0.astype(jnp.float32) + chunk_iota        # (1, CW)
+                tiles = []
+                for m in range(n_heads):
+                    base = m * 3 * n_points
+                    wx_p, y_p = [], []
                     for p in range(n_points):
-                        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_p[p] - hrow))
-                        term = wy * wx_p[p]                         # (TQ, Wp)
-                        seg = term if seg is None else seg + term
-                    v = scratch[slot, r * wp:(r + 1) * wp,
-                                m * d_head:(m + 1) * d_head]        # (Wp, D)
-                    dot = jnp.dot(seg.astype(v_dtype), v,
-                                  preferred_element_type=jnp.float32)
-                    acc = dot if acc is None else acc + dot
-                tiles.append(acc)
-            o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
+                        x = q[:, base + p:base + p + 1]             # (TQ, 1)
+                        a = q[:, base + 2 * n_points + p:
+                              base + 2 * n_points + p + 1]
+                        wx_p.append(
+                            a * jnp.maximum(0.0, 1.0 - jnp.abs(x - wcoord)))
+                        y_p.append(q[:, base + n_points + p:
+                                     base + n_points + p + 1])
+                    acc = None
+                    for r in range(n_rows):
+                        hrow = row0 + r
+                        seg = None
+                        for p in range(n_points):
+                            wy = jnp.maximum(
+                                0.0, 1.0 - jnp.abs(y_p[p] - hrow))
+                            term = wy * wx_p[p]                     # (TQ, CW)
+                            seg = term if seg is None else seg + term
+                        v = scratch[slot, pl.ds(r * wp + x0, cw),
+                                    m * d_head:(m + 1) * d_head]    # (CW, D)
+                        dot = jnp.dot(seg.astype(v_dtype), v,
+                                      preferred_element_type=jnp.float32)
+                        acc = dot if acc is None else acc + dot
+                    tiles.append(acc)
+                o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
+                return 0
+
+            jax.lax.fori_loop(xlo, xhi + 1, xloop, 0)
             return 0
 
         jax.lax.fori_loop(lo, hi + 1, loop, 0)
@@ -416,11 +431,17 @@ def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, n_points,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("h", "w", "tq", "rows_per_tile",
+                   static_argnames=("h", "w", "tq", "rows_per_tile", "cw",
                                     "interpret"))
 def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
-                               tq=256, rows_per_tile=None, interpret=False):
-    """Compacted-grid variant.  Same contract/numerics as v2."""
+                               tq=256, rows_per_tile=None, cw=None,
+                               perm=None, interpret=False):
+    """Compacted-grid variant.  Same contract/numerics as v2.  `cw`
+    (static, multiple of 8) sets the x-chunk width of the in-kernel
+    column walk; None = full padded width (pure y-walk).  `perm`
+    (N, Lq) sorts queries before tiling (raster-ordered encoder tiles
+    span full rows, so x-chunking only pays with a 2-D-local order —
+    pass spatial_sort_perm's output); outputs are unsorted back."""
     n, c, m, d = value_l.shape
     _, lq, _, p, _ = loc_l.shape
     assert c == h * w, (c, h, w)
@@ -431,6 +452,14 @@ def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
         rows_per_tile = max(1, 1024 // wp)
     rows_per_tile = min(rows_per_tile, h)
     ts = rows_per_tile * wp
+    if cw is None:
+        cw = wp
+    assert cw % 8 == 0 and wp % cw == 0, (cw, wp)
+
+    if perm is not None:
+        loc_l = jnp.take_along_axis(
+            loc_l, perm[:, :, None, None, None], axis=1)
+        attn_l = jnp.take_along_axis(attn_l, perm[:, :, None, None], axis=1)
 
     x = loc_l[..., 0].astype(jnp.float32) * w - 0.5
     y = loc_l[..., 1].astype(jnp.float32) * h - 0.5
@@ -458,9 +487,19 @@ def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
     rr = float(rows_per_tile)
     lo = jnp.clip(jnp.ceil((ymin - rr + 1.0) / rr), 0, n_s - 1)
     hi = jnp.clip(jnp.floor(ymax / rr), -1, n_s - 1)
+    # x-chunk range: the occupied corner columns per q-tile are
+    # [floor(min x), floor(max x)+1], clipped to the real cell columns;
+    # chunk c owns columns [c*CW, (c+1)*CW)
+    x_t = x.reshape(n, lq, m * p)
+    x_t = _pad_to(x_t, 1, tq).reshape(n, n_q, tq * m * p)
+    left = jnp.clip(jnp.floor(jnp.min(x_t, axis=2)), 0, wp - 1)
+    right = jnp.clip(jnp.floor(jnp.max(x_t, axis=2)) + 1.0, 0, wp - 1)
+    xlo = jnp.floor(left / cw)
+    xhi = jnp.floor(right / cw)
     # fully out-of-range tile -> empty walk (lo=0, hi=-1)
     ranges = jnp.concatenate(
-        [lo.reshape(-1), hi.reshape(-1)]).astype(jnp.int32)
+        [lo.reshape(-1), hi.reshape(-1),
+         xlo.reshape(-1), xhi.reshape(-1)]).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -474,7 +513,7 @@ def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_v4, ts=ts, wp=wp, n_points=p,
+        functools.partial(_kernel_v4, ts=ts, wp=wp, cw=cw, n_points=p,
                           n_heads=m, d_head=d, v_dtype=value_l.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, lqp, m * d), jnp.float32),
@@ -487,7 +526,11 @@ def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(ranges, qinfo, v)
-    return out[:, :lq].reshape(n, lq, m, d)
+    out = out[:, :lq]
+    if perm is not None:
+        inv = jnp.argsort(perm, axis=1)
+        out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
+    return out.reshape(n, lq, m, d)
 
 
 def spatial_sort_perm(loc_all, h, w, bucket=8):
