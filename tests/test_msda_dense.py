@@ -100,6 +100,44 @@ def test_hybrid_routing_with_pallas_enabled():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_hybrid_routing_v4_forward_and_grads():
+    """PALLAS_SKIP_IMPL='v4' (hoisted shared perm + x-chunk walk) must be
+    numerically identical to the XLA path and its custom VJP (gather
+    formulation, float0 perm cotangent) must match reference grads."""
+    from trackformer_tpu.ops import msda as msda_mod
+    value, loc, attn = make_inputs(seed=61, oob=True)
+    base = ms_deform_attn(value, SHAPES, loc, attn, pallas_dense=False)
+    saved = (msda_mod.PALLAS_SKIP_IMPL, msda_mod.PALLAS_V2_MIN_QUERIES,
+             msda_mod.PALLAS_V4_CW)
+    try:
+        msda_mod.PALLAS_SKIP_IMPL = "v4"
+        msda_mod.PALLAS_V2_MIN_QUERIES = 1
+        msda_mod.PALLAS_V4_CW = 64
+        ms_deform_attn.clear_cache()
+        got = ms_deform_attn(value, SHAPES, loc, attn, dense_cell_budget=1,
+                             pallas_dense=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                   atol=2e-5, rtol=1e-5)
+
+        def f(fn_kwargs):
+            def inner(v, l, a):
+                return jnp.sum(ms_deform_attn(
+                    v, SHAPES, l, a, **fn_kwargs) ** 2)
+            return inner
+
+        g_v4 = jax.grad(f(dict(dense_cell_budget=1, pallas_dense=True)),
+                        argnums=(0, 1, 2))(value, loc, attn)
+        g_ref = jax.grad(f(dict(pallas_dense=False)),
+                         argnums=(0, 1, 2))(value, loc, attn)
+        for gp, gr, name in zip(g_v4, g_ref, ("value", "loc", "attn")):
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                       atol=1e-4, rtol=1e-4, err_msg=name)
+    finally:
+        (msda_mod.PALLAS_SKIP_IMPL, msda_mod.PALLAS_V2_MIN_QUERIES,
+         msda_mod.PALLAS_V4_CW) = saved
+        ms_deform_attn.clear_cache()
+
+
 @pytest.mark.parametrize("oob", [False, True])
 @pytest.mark.parametrize("lvl", [0, 1])
 def test_pallas_v2_matches_reference(lvl, oob):

@@ -139,10 +139,14 @@ PALLAS_V2_MIN_QUERIES = 4096
 
 # which block-skipping kernel generation serves the "v2 levels":
 # "v2" = (nQ, nS) grid with scalar flags, "v4" = compacted (N, nQ) grid
-# with an in-kernel dynamic range walk + manual double-buffered DMA.
-# Module-level so benches can flip it; read at trace time — flipping it
+# with an in-kernel dynamic range walk + manual double-buffered DMA,
+# x-chunk width PALLAS_V4_CW, and (when PALLAS_V4_SORT) ONE hoisted
+# spatial argsort shared by every level of the call.
+# Module-level so benches can flip them; read at trace time — flipping
 # after a same-shape call requires ms_deform_attn.clear_cache().
 PALLAS_SKIP_IMPL = "v2"
+PALLAS_V4_CW = 64
+PALLAS_V4_SORT = True
 
 
 def _on_tpu() -> bool:
@@ -192,6 +196,13 @@ def ms_deform_attn(value: jnp.ndarray,
                      if i not in dense_levels and i not in v2_levels
                      and i not in v1_levels]
 
+    v4 = PALLAS_SKIP_IMPL == "v4"
+    perm = None
+    if v2_levels and v4 and PALLAS_V4_SORT:
+        from .msda_dense import spatial_sort_perm
+        h0, w0 = spatial_shapes[0]
+        perm = spatial_sort_perm(sampling_locations[:, :, :, 0], h0, w0)
+
     acc = jnp.zeros((n, lq, m, d), jnp.float32)
     offset = 0
     for i, (h, w) in enumerate(spatial_shapes):
@@ -203,14 +214,26 @@ def ms_deform_attn(value: jnp.ndarray,
         elif i in v2_levels or i in v1_levels:
             from .msda_dense import (dense_level_pallas,
                                      dense_level_pallas_v2,
-                                     dense_level_pallas_v4)
-            skip_fn = (dense_level_pallas_v4 if PALLAS_SKIP_IMPL == "v4"
-                       else dense_level_pallas_v2)
-            fn = skip_fn if i in v2_levels else dense_level_pallas
-            acc = acc + fn(
-                value[:, offset:offset + h * w],
-                sampling_locations[:, :, :, i],
-                attention_weights[:, :, :, i], h, w, not _on_tpu())
+                                     dense_level_pallas_v4p)
+            if i in v2_levels and v4 and perm is not None:
+                acc = acc + dense_level_pallas_v4p(
+                    value[:, offset:offset + h * w],
+                    sampling_locations[:, :, :, i],
+                    attention_weights[:, :, :, i], perm, h, w,
+                    PALLAS_V4_CW, not _on_tpu())
+            elif i in v2_levels and v4:
+                from .msda_dense import dense_level_pallas_v4
+                acc = acc + dense_level_pallas_v4(
+                    value[:, offset:offset + h * w],
+                    sampling_locations[:, :, :, i],
+                    attention_weights[:, :, :, i], h, w, not _on_tpu())
+            else:
+                fn = (dense_level_pallas_v2 if i in v2_levels
+                      else dense_level_pallas)
+                acc = acc + fn(
+                    value[:, offset:offset + h * w],
+                    sampling_locations[:, :, :, i],
+                    attention_weights[:, :, :, i], h, w, not _on_tpu())
         offset += h * w
 
     if gather_levels:

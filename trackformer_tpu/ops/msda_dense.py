@@ -816,3 +816,33 @@ def _fwd_v4(value_l, loc_l, attn_l, h, w, interpret):
 
 
 dense_level_pallas_v4.defvjp(_fwd_v4, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def dense_level_pallas_v4p(value_l, loc_l, attn_l, perm, h, w, cw,
+                           interpret=False):
+    """`dense_level_pallas_v4` with a caller-supplied sort permutation and
+    x-chunk width — lets `ms_deform_attn` hoist ONE spatial argsort per op
+    call instead of one per level (image-space locality is
+    level-independent).  `perm` is integer data: its cotangent is float0."""
+    return _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w, cw=cw,
+                                      perm=perm, interpret=interpret)
+
+
+def _fwd_v4p(value_l, loc_l, attn_l, perm, h, w, cw, interpret):
+    out = _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w, cw=cw,
+                                     perm=perm, interpret=interpret)
+    return out, (value_l, loc_l, attn_l, perm)
+
+
+def _bwd_v4p(h, w, cw, interpret, res, g):
+    import numpy as np
+    value_l, loc_l, attn_l, perm = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: _level_out_gather(v, l, a, h, w),
+        value_l, loc_l, attn_l)
+    dv, dl, da = vjp(g)
+    return dv, dl, da, np.zeros(perm.shape, jax.dtypes.float0)
+
+
+dense_level_pallas_v4p.defvjp(_fwd_v4p, _bwd_v4p)
