@@ -106,6 +106,13 @@ def chain_level(value, loc, attn, lvl, impl, tq=None, rows=None):
             kw["tq"] = tq
         if rows:
             kw["rows_per_tile"] = rows
+        if impl.startswith("v4"):
+            from trackformer_tpu.ops.msda_dense import (
+                _dense_level_pallas_v4_fwd, spatial_sort_perm)
+            if impl == "v4s":  # sorted + 64-wide x-chunks
+                kw["cw"] = 64
+                kw["perm"] = spatial_sort_perm(l, h, w)
+            return _dense_level_pallas_v4_fwd(v, l, a, h, w, **kw)
         return _dense_level_pallas_v2_fwd(v, l, a, h, w, **kw)
 
     def body(carry, _):
@@ -151,7 +158,7 @@ if __name__ == "__main__":
                               flush=True)
         elif per_level:
             for lvl in range(L):
-                for impl in ("v1", "v2"):
+                for impl in ("v1", "v2", "v4", "v4s"):
                     dt = bench_level(lvl, impl, sigma)
                     print(f"sigma={sigma:5.3f} L{lvl} {impl}: "
                           f"{dt * 1e3:8.2f} ms", flush=True)
