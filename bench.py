@@ -39,7 +39,7 @@ import time
 
 ASSUMED_REFERENCE_A100_FPS = 10.0
 H, W = 800, 1344
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
 def _load(enc, dec, cached):
