@@ -42,6 +42,19 @@ if SCALE == "flagship":
     MODEL_OVER = {"enc_layers": 6, "dec_layers": 6, "hidden_dim": 288,
                   "nheads": 8, "dim_feedforward": 1024, "num_queries": 48}
     MAX_OBJ = 10
+elif SCALE == "mid":
+    # CPU-feasible middle regime: flagship width/heads (288 dim, 8 heads)
+    # at 2x the small resolution — runs without a TPU when the dev tunnel
+    # is unavailable:
+    #   PYTHONPATH= JAX_PLATFORMS=cpu python tools/fast_exact_agreement.py \
+    #       600 mid
+    H, W = 192, 256
+    N_TRAIN, N_EVAL = 32, 20
+    BATCH = 4
+    N_MAX, BOX_LO, BOX_HI = 6, 24, 64
+    MODEL_OVER = {"enc_layers": 4, "dec_layers": 4, "hidden_dim": 288,
+                  "nheads": 8, "dim_feedforward": 1024, "num_queries": 32}
+    MAX_OBJ = 8
 else:
     H, W = 96, 128
     N_TRAIN, N_EVAL = 24, 16
@@ -121,6 +134,8 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
     order = np.random.RandomState(seed + 1)
     losses = []
     for it in range(STEPS):
+        if it % 100 == 0:
+            print(f"{mode} step {it}/{STEPS}", flush=True)
         idx = order.choice(len(train_scenes), BATCH, replace=False)
         imgs = jnp.asarray(np.stack([train_scenes[i][0] for i in idx]))
         targets = to_targets([train_scenes[i][1] for i in idx])
