@@ -34,8 +34,10 @@ class FileVis:
 
     def log_epoch(self, epoch: int, metrics: Dict[str, float]):
         rec = {"epoch": epoch}
+        # ndarray has .item too — require 0-d, else float() throws
         rec.update({k: float(v) for k, v in metrics.items()
-                    if np.isscalar(v) or hasattr(v, "item")})
+                    if np.isscalar(v)
+                    or (hasattr(v, "item") and np.ndim(v) == 0)})
         self._epoch.write(json.dumps(rec) + "\n")
         self._epoch.flush()
         self.plot_curves()
