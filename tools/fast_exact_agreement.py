@@ -118,7 +118,9 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
     cfg["tpu"]["compute_dtype"] = ("bfloat16" if SCALE == "flagship"
                                   else "float32")
     cfg["tpu"]["remat"] = SCALE == "flagship"
-    cfg["tpu"]["scan_layers"] = SCALE == "flagship"
+    # scan_layers also for 'mid': XLA:CPU compile of the UNROLLED 288-dim
+    # model exceeded an hour; the scanned HLO compiles in minutes
+    cfg["tpu"]["scan_layers"] = SCALE in ("flagship", "mid")
     args = nested_namespace(cfg)
     args.lr_drop_steps = [int(STEPS * 0.8)]
     model, crit_cfg, post, _ = build_model(args)
