@@ -38,7 +38,9 @@ import sys
 import time
 
 ASSUMED_REFERENCE_A100_FPS = 10.0
-H, W = 800, 1344
+# BENCH_HW exists for CPU smoke-testing the bench wiring only; headline
+# numbers are always the default MOT17 bucket.
+H, W = (int(v) for v in os.environ.get("BENCH_HW", "800,1344").split(","))
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
@@ -70,6 +72,54 @@ def _measure(step, params, state, batch, orig, pub_b, pub_v, rtt, iters):
     return best / iters
 
 
+def _pick_msda_impl():
+    """Bench-time selection of the block-skipping MSDA kernel generation.
+
+    v4 (compacted grid + double-buffered DMA, ops/msda_dense.py) is
+    CPU-interpret-verified but its on-chip measurement was blocked by the
+    round-3 dev-tunnel outage (PLAN.md). Rather than freeze an unmeasured
+    default, measure v2 vs v4 at encoder scale on the live chip right here
+    and route the winner for the benches below. Any v4 failure (Mosaic
+    compile, remote-compile HTTP error) falls back to the measured-good v2.
+
+    Returns (chosen_impl, {impl: ms_per_op}) — ms are raw chained-K
+    timings (one readback per K=10 ops, same protocol as
+    tools/bench_msda_dense.py, so directly comparable with PLAN.md's
+    table; the shared readback bias cancels in the comparison).
+    """
+    import jax
+
+    from trackformer_tpu.ops import msda
+
+    forced = os.environ.get("BENCH_MSDA_IMPL")
+    if forced:
+        msda.PALLAS_SKIP_IMPL = forced
+        return forced, {}
+    if jax.devices()[0].platform != "tpu" or os.environ.get(
+            "BENCH_NO_KERNEL_PICK"):
+        return msda.PALLAS_SKIP_IMPL, {}
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import bench_msda_dense as bmd
+
+    times = {}
+    for impl in ("v2", "v4"):
+        msda.PALLAS_SKIP_IMPL = impl
+        msda.ms_deform_attn.clear_cache()
+        bmd.chain.clear_cache()
+        try:
+            times[impl] = bmd.bench("pallas_v1", sigma=0.02) * 1e3
+        except Exception as e:  # v4 has never compiled on a real chip
+            print(f"# msda impl {impl} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    chosen = min(times, key=times.get) if times else "v2"
+    msda.PALLAS_SKIP_IMPL = chosen
+    msda.ms_deform_attn.clear_cache()
+    bmd.chain.clear_cache()
+    return chosen, {k: round(v, 2) for k, v in times.items()}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -90,6 +140,8 @@ def main():
     for _ in range(10):
         float(_probe(jnp.float32(0)))
     rtt = (time.perf_counter() - t0) / 10
+
+    msda_impl, msda_impl_ms = _pick_msda_impl()
 
     def run_mode(enc, dec, b, iters, cached=False):
         args, model, post = _load(enc, dec, cached)
@@ -124,17 +176,51 @@ def main():
         del params
         return dt
 
+    # windowed-layout A/B (transpose-chain vs token-permutation gathers,
+    # models/windowed_encoder.py GATHER_LAYOUT) measured on the B=1 fast
+    # mode; the winner routes the headline batched run. Identical numerics
+    # (tests/test_models.py::test_window_gather_layout_equivalence), so
+    # this is purely a latency choice the live chip gets to make.
+    from trackformer_tpu.models import windowed_encoder as we
+    layout_ms = {}
+    for name, flag in (("transpose", False), ("gather", True)):
+        forced = os.environ.get("BENCH_WINDOW_LAYOUT")
+        if forced and forced != name:
+            continue
+        we.GATHER_LAYOUT = flag
+        try:
+            layout_ms[name] = run_mode("windowed", "msda", 1, 10,
+                                       cached=True)
+        except Exception as e:
+            print(f"# window layout {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if not layout_ms:
+        raise RuntimeError("both windowed-encoder layouts failed; "
+                           "see stderr for the per-layout errors")
+    best_layout = min(layout_ms, key=layout_ms.get)
+    we.GATHER_LAYOUT = best_layout == "gather"
+    dt_fast = layout_ms[best_layout]
+
     # headline: batched multi-sequence offline tracking, tpu-fast mode
-    # (windowed encoder + exact-MSDA decoder + cached prev-frame memory)
-    dt_batched = run_mode("windowed", "msda", BATCH, 10, cached=True)
-    fps_aggregate = BATCH / dt_batched
-    # per-stream latency mode (B=1), same model
-    dt_fast = run_mode("windowed", "msda", 1, 10, cached=True)
+    # (windowed encoder + exact-MSDA decoder + cached prev-frame memory).
+    # A failure here (e.g. HBM pressure at a larger BENCH_BATCH) must not
+    # zero the whole artifact: fall back to the measured B=1 number.
+    try:
+        dt_batched = run_mode("windowed", "msda", BATCH, 10, cached=True)
+    except Exception as e:
+        print(f"# batched mode failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        dt_batched = None
+    fps_aggregate = (BATCH / dt_batched if dt_batched else 1.0 / dt_fast)
     # reference-parity mode: exact MSDA everywhere (skippable: it adds a
     # large first-run compile through the remote-compile hop)
     dt_parity = None
     if not os.environ.get("BENCH_FAST_ONLY"):
-        dt_parity = run_mode("msda", "msda", 1, 5)
+        try:
+            dt_parity = run_mode("msda", "msda", 1, 5)
+        except Exception as e:
+            print(f"# parity mode failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     agreement = None
     agree_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -153,10 +239,16 @@ def main():
         "mode": (f"batched offline tracking, {BATCH} sequences in lockstep; "
                  "windowed encoder + exact-MSDA decoder + cached prev-frame "
                  "memory"),
-        "batched_step_ms": round(dt_batched * 1e3, 2),
+        "batched_step_ms": (round(dt_batched * 1e3, 2)
+                            if dt_batched else "failed (see stderr)"),
         "mode_fast_fps": round(1.0 / dt_fast, 3),
         "mode_parity_fps": (round(1.0 / dt_parity, 3)
                             if dt_parity else "skipped (BENCH_FAST_ONLY)"),
+        "msda_skip_impl": msda_impl,
+        "msda_impl_bench_ms": msda_impl_ms,
+        "window_layout": best_layout,
+        "window_layout_bench_ms": {k: round(v * 1e3, 2)
+                                   for k, v in layout_ms.items()},
         "fast_vs_exact_agreement": agreement,
     }
     print(json.dumps(out))

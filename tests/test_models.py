@@ -80,3 +80,59 @@ def test_dense_decoder_mode():
                   "tpu.decoder_attention": "dense"}, with_tq=True)
     assert out["pred_logits"].shape == (1, 14, 20)
     assert bool(jnp.all(jnp.isfinite(out["pred_logits"])))
+
+
+def test_nearest_resize_fast_paths():
+    """The fusion resize fast paths (strided slice down / 2x repeat up)
+    must match jax.image.resize nearest exactly, and non-exact factors
+    must still route through the general path."""
+    from trackformer_tpu.models.windowed_encoder import _nearest_resize
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 50, 84, 3))
+    for target in [(2, 25, 42, 3),     # exact /2 -> strided slice
+                   (2, 100, 168, 3),   # exact x2 -> repeat
+                   (2, 13, 21, 3),     # non-exact -> general gather
+                   (2, 25, 41, 3)]:    # mixed-exactness -> general
+        ours = _nearest_resize(x, target)
+        ref = jax.image.resize(x, target, "nearest")
+        assert ours.shape == tuple(target)
+        assert bool(jnp.all(ours == ref)), target
+
+
+def test_window_gather_layout_equivalence():
+    """The gather-layout windowed encoder (token-permutation row-gathers)
+    must produce the same outputs as the transpose-chain layout: the
+    permutation encodes exactly roll -> pad -> partition, and all
+    window-local math is order-invariant."""
+    from trackformer_tpu.models import windowed_encoder as we
+
+    rng = jax.random.PRNGKey(0)
+    b, c = 2, 32
+    shapes = [(10, 14), (5, 7), (3, 4)]
+    keys = jax.random.split(rng, 2 * len(shapes))
+    srcs = [jax.random.normal(keys[i], (b, h, w, c))
+            for i, (h, w) in enumerate(shapes)]
+    poses = [jax.random.normal(keys[len(shapes) + i], (b, h, w, c))
+             for i, (h, w) in enumerate(shapes)]
+    # image-padding masks (True = pad): last rows/cols padded on item 1
+    masks = []
+    for h, w in shapes:
+        m = jnp.zeros((b, h, w), bool)
+        m = m.at[1, h - max(1, h // 4):, :].set(True)
+        m = m.at[1, :, w - max(1, w // 4):].set(True)
+        masks.append(m)
+
+    enc = we.WindowedEncoder(c, num_layers=2, nheads=4, dim_feedforward=64,
+                             window=8)
+    prev = we.GATHER_LAYOUT
+    try:
+        we.GATHER_LAYOUT = False
+        params = enc.init(jax.random.PRNGKey(1), srcs, masks, poses)
+        out0 = enc.apply(params, srcs, masks, poses)
+        we.GATHER_LAYOUT = True
+        out1 = enc.apply(params, srcs, masks, poses)
+    finally:
+        we.GATHER_LAYOUT = prev
+    assert out0.shape == out1.shape
+    assert bool(jnp.max(jnp.abs(out0 - out1)) < 1e-5), float(
+        jnp.max(jnp.abs(out0 - out1)))

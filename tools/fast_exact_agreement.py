@@ -133,18 +133,47 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
     state = TrainState.create(params, opt)
     step = jax.jit(make_train_step(model, crit_cfg, opt, tracking=False))
 
+    # mid-train resume (the round-3 dev-tunnel outage killed a flagship run
+    # 90 min in with nothing to show): every SAVE_EVERY steps the full
+    # TrainState pytree + loss history goes to an atomic npz; a restarted
+    # run replays the data-order RNG for the skipped steps so the sequence
+    # of batches is identical to an uninterrupted run.
+    SAVE_EVERY = 100
+    tck = Path("/tmp") / f"agreement_{SCALE}_{STEPS}_{mode}_train.npz"
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    start, losses = 0, []
+    if tck.exists():
+        z = np.load(tck)
+        state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(z[f"a{i}"]) for i in range(len(leaves))])
+        start = int(z["it"])
+        losses = [float(v) for v in z["losses"]]
+        print(f"{mode}: resuming at step {start} from {tck}", flush=True)
+
+    def save_train(it):
+        arrs = {f"a{i}": np.asarray(leaf) for i, leaf in
+                enumerate(jax.tree_util.tree_leaves(state))}
+        arrs["it"] = np.array(it)
+        arrs["losses"] = np.array(losses)
+        tmp = tck.with_suffix(".tmp.npz")
+        np.savez(tmp, **arrs)
+        tmp.replace(tck)
+
     order = np.random.RandomState(seed + 1)
-    losses = []
     for it in range(STEPS):
+        idx = order.choice(len(train_scenes), BATCH, replace=False)
+        if it < start:
+            continue
         if it % 100 == 0:
             print(f"{mode} step {it}/{STEPS}", flush=True)
-        idx = order.choice(len(train_scenes), BATCH, replace=False)
         imgs = jnp.asarray(np.stack([train_scenes[i][0] for i in idx]))
         targets = to_targets([train_scenes[i][1] for i in idx])
         pack = {"batch": FrameBatch.from_images(
             imgs, jnp.array([[H, W]] * BATCH)), "targets": targets}
         state, metrics = step(state, pack, jax.random.PRNGKey(it))
         losses.append(float(metrics["loss"]))
+        if (it + 1) % SAVE_EVERY == 0 and it + 1 < STEPS:
+            save_train(it + 1)
     print(f"{mode}: loss {np.mean(losses[:10]):.3f} -> "
           f"{np.mean(losses[-10:]):.3f}", flush=True)
 
@@ -210,16 +239,40 @@ def preds_to_anns(preds, score_thresh=0.5):
     return out
 
 
+def _ckpt_path(mode):
+    return Path("/tmp") / f"agreement_{SCALE}_{STEPS}_{mode}.npz"
+
+
+def _run_mode_cached(mode, train_scenes, eval_scenes):
+    """train_and_eval with an on-disk per-mode checkpoint, so a killed run
+    (dev-tunnel outage, wall-clock limit) never repays a completed mode."""
+    p = _ckpt_path(mode)
+    if p.exists():
+        z = np.load(p)
+        n = int(z["n"])
+        preds = {i: {"boxes": z[f"b{i}"], "scores": z[f"s{i}"],
+                     "labels": z[f"l{i}"]} for i in range(n)}
+        print(f"{mode}: reusing checkpoint {p}", flush=True)
+        return preds, list(z["losses"])
+    preds, losses = train_and_eval(mode, train_scenes, eval_scenes)
+    arrs = {"n": np.array(len(preds)), "losses": np.array(losses)}
+    for i, pr in preds.items():
+        arrs[f"b{i}"], arrs[f"s{i}"], arrs[f"l{i}"] = (
+            pr["boxes"], pr["scores"], pr["labels"])
+    np.savez(p, **arrs)
+    return preds, losses
+
+
 def main():
     rng = np.random.RandomState(0)
     train_scenes = [make_scene(rng) for _ in range(N_TRAIN)]
     eval_scenes = [make_scene(rng) for _ in range(N_EVAL)]
     gt = boxes_to_anns(eval_scenes)
 
-    exact_preds, exact_losses = train_and_eval("exact", train_scenes,
+    exact_preds, exact_losses = _run_mode_cached("exact", train_scenes,
+                                                 eval_scenes)
+    fast_preds, fast_losses = _run_mode_cached("fast", train_scenes,
                                                eval_scenes)
-    fast_preds, fast_losses = train_and_eval("fast", train_scenes,
-                                             eval_scenes)
 
     exact_ap, exact_ap50 = eval_map(exact_preds, gt)
     fast_ap, fast_ap50 = eval_map(fast_preds, gt)

@@ -25,13 +25,27 @@ query count is tiny, so the gather cost is negligible there.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .attention import MultiHeadAttention
+
+# Windowed-layout strategy. "0" (default): per-level roll/pad/
+# reshape-transpose chains (window_partition/window_merge). "1": ONE
+# precomputed token-permutation row-gather into the windowed layout and one
+# inverse gather back per layer — the roll, pad and 6-d transpose fold into
+# a static index vector, replacing ~10 small layout ops per level per layer
+# with 2 gathers of ~S rows (~0.06 ms each at flagship scale per the
+# measured 360M rows/s row-gather rate, vs latency-bound transpose chains).
+# Numerics are identical (pure permutation; padded slots masked as before).
+# Module-level so bench.py can A/B both layouts on the live chip and route
+# the winner; read at trace time.
+GATHER_LAYOUT = os.environ.get("WINDOW_GATHER_LAYOUT", "0") == "1"
 
 
 def _pad_hw(x: jnp.ndarray, win: int) -> Tuple[jnp.ndarray, int, int]:
@@ -87,6 +101,66 @@ def window_context(poses: List[jnp.ndarray], masks: List[jnp.ndarray],
     return pw, kp & ~all_pad
 
 
+def _token_perm(shapes: Sequence[Tuple[int, int]], win: int, shift: bool):
+    """Static (numpy) windowing permutation for one shift parity.
+
+    Returns
+      tok (NW, win*win) int32 — for every window slot, the flat token index
+        it reads, or S (one past the end: a zero dummy row) for pad slots;
+        encodes roll(-sh) -> pad-to-multiple -> window partition exactly as
+        `window_partition` does, for all levels concatenated.
+      inv (S,) int32 — for every flat token, its (window, slot) position in
+        the windowed layout (each real token appears in exactly one window
+        per parity, so the map is a bijection onto the non-pad slots).
+    """
+    sh = win // 2 if shift else 0
+    s_total = sum(h * w for h, w in shapes)
+    blocks = []
+    base = 0
+    for h, w in shapes:
+        ids = np.arange(h * w, dtype=np.int64).reshape(h, w) + base
+        if sh:
+            ids = np.roll(ids, (-sh, -sh), axis=(0, 1))
+        hp, wp = h + (-h) % win, w + (-w) % win
+        idp = np.full((hp, wp), s_total, np.int64)
+        idp[:h, :w] = ids
+        blocks.append(idp.reshape(hp // win, win, wp // win, win)
+                      .transpose(0, 2, 1, 3).reshape(-1, win * win))
+        base += h * w
+    tok = np.concatenate(blocks, axis=0)
+    flat = tok.reshape(-1)
+    real = flat < s_total
+    inv = np.empty(s_total, np.int64)
+    inv[flat[real]] = np.nonzero(real)[0]
+    return tok.astype(np.int32), inv.astype(np.int32)
+
+
+def gather_window_context(poses: List[jnp.ndarray], masks: List[jnp.ndarray],
+                          win: int, shift: bool, dtype):
+    """window_context twin for the gather layout: positions/key-padding in
+    (B*NW, win*win) order via the same token permutation the layer uses
+    (batch-major windows, vs level-major in `window_context` — a pure
+    relabeling of the attention batch axis)."""
+    b = poses[0].shape[0]
+    shapes = [p.shape[1:3] for p in poses]
+    c = poses[0].shape[-1]
+    tok, inv = _token_perm(shapes, win, shift)
+    tok_j = jnp.asarray(tok)
+
+    flat_p = jnp.concatenate(
+        [p.reshape(b, -1, c) for p in poses] + [jnp.zeros((b, 1, c),
+                                                          poses[0].dtype)],
+        axis=1)
+    pw = jnp.take(flat_p, tok_j.reshape(-1), axis=1).reshape(
+        -1, win * win, c).astype(dtype)
+
+    flat_m = jnp.concatenate(
+        [m.reshape(b, -1) for m in masks] + [jnp.ones((b, 1), bool)], axis=1)
+    kp = jnp.take(flat_m, tok_j.reshape(-1), axis=1).reshape(-1, win * win)
+    all_pad = jnp.all(kp, axis=1, keepdims=True)
+    return pw, kp & ~all_pad, tok_j, jnp.asarray(inv)
+
+
 class WindowedEncoderLayer(nn.Module):
     """One shared-weight layer over ALL levels: single fused attention call
     on the concatenation of every level's windows, FFN on flat tokens."""
@@ -104,46 +178,48 @@ class WindowedEncoderLayer(nn.Module):
                  ctx=None) -> List[jnp.ndarray]:
         win = self.window
         sh = win // 2 if self.shift else 0
+        b = levels[0].shape[0]
         shapes = [x.shape for x in levels]
-        if ctx is None:
-            ctx = window_context(poses, masks, win, self.shift, self.dtype)
-        pw, kp = ctx
+        if GATHER_LAYOUT:
+            if ctx is None:
+                ctx = gather_window_context(poses, masks, win, self.shift,
+                                            self.dtype)
+            pw, kp, tok, inv = ctx
+            flat = jnp.concatenate(
+                [x.reshape(b, -1, self.d_model) for x in levels] +
+                [jnp.zeros((b, 1, self.d_model), levels[0].dtype)], axis=1)
+            xw = jnp.take(flat, tok.reshape(-1), axis=1).reshape(
+                -1, win * win, self.d_model)
+        else:
+            if ctx is None:
+                ctx = window_context(poses, masks, win, self.shift,
+                                     self.dtype)
+            pw, kp = ctx
 
-        xw_all, meta = [], []
-        for x in levels:
-            b, h0, w0, _ = x.shape
-            if sh:
-                x = jnp.roll(x, (-sh, -sh), axis=(1, 2))
-            x, hp, wp = _pad_hw(x, win)
-            xw_all.append(window_partition(x, win))
-            meta.append((b, h0, w0, hp, wp, xw_all[-1].shape[0]))
+            xw_all, meta = [], []
+            for s, x in zip(shapes, levels):
+                if sh:
+                    x = jnp.roll(x, (-sh, -sh), axis=(1, 2))
+                x, hp, wp = _pad_hw(x, win)
+                xw_all.append(window_partition(x, win))
+                meta.append((b, s[1], s[2], hp, wp, xw_all[-1].shape[0]))
 
-        xw = jnp.concatenate(xw_all, axis=0)   # (sum_nwin, win^2, C)
+            xw = jnp.concatenate(xw_all, axis=0)   # (sum_nwin, win^2, C)
 
         q = xw + pw
         attn = MultiHeadAttention(self.d_model, self.nheads, self.dropout,
                                   self.dtype, name="self_attn")(
             q, q, xw, kp, deterministic)
 
-        outs = []
-        off = 0
-        for (b, h0, w0, hp, wp, n), x in zip(meta, levels):
-            a = attn[off:off + n]
-            off += n
-            a = window_merge(a, b, hp, wp, win)[:, :h0, :w0]
-            if sh:
-                a = jnp.roll(a, (sh, sh), axis=(1, 2))
-            outs.append(a)
-
-        # norm + FFN once over the flat token tensor (one big MXU op)
-        b = shapes[0][0]
-        flat_x = jnp.concatenate(
-            [x.reshape(b, -1, self.d_model) for x in levels], axis=1)
-        flat_a = jnp.concatenate(
-            [a.reshape(b, -1, self.d_model) for a in outs], axis=1)
+        # residual + norm + FFN directly in the WINDOWED layout: every op
+        # here is per-token, so values for real tokens are identical to the
+        # flat formulation, and staying windowed drops the two
+        # spatial<->flat concat/reshape chains per layer (measured
+        # latency-bound, PLAN.md lever 2); padded window slots compute
+        # garbage that the merge slice below discards
         drop = nn.Dropout(self.dropout)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(
-            flat_x + drop(flat_a, deterministic=deterministic))
+            xw + drop(attn, deterministic=deterministic))
         ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(
             drop(nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype,
                                   name="linear1")(x)),
@@ -153,11 +229,38 @@ class WindowedEncoderLayer(nn.Module):
 
         out_levels = []
         off = 0
-        for (_, h0, w0, _, _, _), s in zip(meta, shapes):
-            n = h0 * w0
-            out_levels.append(x[:, off:off + n].reshape(s))
+        if GATHER_LAYOUT:
+            merged = jnp.take(x.reshape(b, -1, self.d_model), inv, axis=1)
+            for s in shapes:
+                n = s[1] * s[2]
+                out_levels.append(merged[:, off:off + n].reshape(s))
+                off += n
+            return out_levels
+        for bb, h0, w0, hp, wp, n in meta:
+            a = x[off:off + n]
             off += n
+            a = window_merge(a, bb, hp, wp, win)[:, :h0, :w0]
+            if sh:
+                a = jnp.roll(a, (sh, sh), axis=(1, 2))
+            out_levels.append(a)
         return out_levels
+
+
+def _nearest_resize(x: jnp.ndarray, shape) -> jnp.ndarray:
+    """jax.image.resize(..., "nearest") with cheap exact-factor-2 paths.
+
+    Backbone level ladders are exact /2 except where an odd size rounds up
+    (e.g. 25 -> 13); for the exact case nearest-resize is literally a
+    strided slice (down; nearest picks index 2i+1) or a 2x repeat (up) —
+    verified equal numerically — which lower to slice/broadcast instead of
+    the general gather, shaving per-layer fusion latency."""
+    b, ho, wo, c = shape
+    _, hi, wi, _ = x.shape
+    if hi == 2 * ho and wi == 2 * wo:
+        return x[:, 1::2, 1::2, :]
+    if 2 * hi == ho and 2 * wi == wo:
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return jax.image.resize(x, shape, "nearest")
 
 
 class CrossLevelFusion(nn.Module):
@@ -172,11 +275,11 @@ class CrossLevelFusion(nn.Module):
         for i, x in enumerate(levels):
             acc = x
             if i + 1 < len(levels):
-                up = jax.image.resize(levels[i + 1], x.shape, "nearest")
+                up = _nearest_resize(levels[i + 1], x.shape)
                 acc = acc + nn.Dense(self.d_model, dtype=self.dtype,
                                      name=f"up_{i}")(up)
             if i > 0:
-                down = jax.image.resize(levels[i - 1], x.shape, "nearest")
+                down = _nearest_resize(levels[i - 1], x.shape)
                 acc = acc + nn.Dense(self.d_model, dtype=self.dtype,
                                      name=f"down_{i}")(down)
             out.append(nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(acc))
@@ -200,9 +303,10 @@ class WindowedEncoder(nn.Module):
                  poses: Sequence[jnp.ndarray],
                  deterministic: bool = True) -> jnp.ndarray:
         levels = list(srcs)
+        make_ctx = gather_window_context if GATHER_LAYOUT else window_context
         ctxs = {
-            shift: window_context(list(poses), list(masks), self.window,
-                                  shift, self.dtype)
+            shift: make_ctx(list(poses), list(masks), self.window,
+                            shift, self.dtype)
             for shift in ({bool(li % 2) for li in range(self.num_layers)})}
         for li in range(self.num_layers):
             levels = WindowedEncoderLayer(

@@ -27,6 +27,7 @@ is shape-static under jit.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -144,7 +145,10 @@ PALLAS_V2_MIN_QUERIES = 4096
 # spatial argsort shared by every level of the call.
 # Module-level so benches can flip them; read at trace time — flipping
 # after a same-shape call requires ms_deform_attn.clear_cache().
-PALLAS_SKIP_IMPL = "v2"
+# "v2" is the measured-good default (PLAN.md); the env override lets a
+# deployment route "v4" without a code change once it is measured on its
+# chips (bench.py auto-picks between the two at bench time).
+PALLAS_SKIP_IMPL = os.environ.get("PALLAS_SKIP_IMPL", "v2")
 PALLAS_V4_CW = 64
 PALLAS_V4_SORT = True
 
