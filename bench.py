@@ -129,6 +129,7 @@ def main():
     from trackformer_tpu.tracking.tracker import (TrackerConfig, init_state,
                                                   make_tracker_step)
 
+    bench_t0 = time.perf_counter()
     rng = jax.random.PRNGKey(0)
 
     @jax.jit
@@ -176,42 +177,39 @@ def main():
         del params
         return dt
 
-    # windowed-layout A/B (transpose-chain vs token-permutation gathers,
-    # models/windowed_encoder.py GATHER_LAYOUT) measured on the B=1 fast
-    # mode; the winner routes the headline batched run. Identical numerics
-    # (tests/test_models.py::test_window_gather_layout_equivalence), so
-    # this is purely a latency choice the live chip gets to make.
+    # Phase order is budget-aware: the three REQUIRED numbers (fast B=1,
+    # batched headline, parity) are measured first so the artifact is
+    # complete even if the wall-time budget runs out; the optional
+    # refinements (gather-layout A/B, larger batch) only run with budget
+    # to spare and can only improve the headline.
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "2400"))
+
+    def budget_left():
+        return budget - (time.perf_counter() - bench_t0)
+
     from trackformer_tpu.models import windowed_encoder as we
+    forced_layout = os.environ.get("BENCH_WINDOW_LAYOUT")
+    first_layout = forced_layout or "transpose"
+    we.GATHER_LAYOUT = first_layout == "gather"
     layout_ms = {}
-    for name, flag in (("transpose", False), ("gather", True)):
-        forced = os.environ.get("BENCH_WINDOW_LAYOUT")
-        if forced and forced != name:
-            continue
-        we.GATHER_LAYOUT = flag
-        try:
-            layout_ms[name] = run_mode("windowed", "msda", 1, 10,
+    layout_ms[first_layout] = run_mode("windowed", "msda", 1, 10,
                                        cached=True)
-        except Exception as e:
-            print(f"# window layout {name} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-    if not layout_ms:
-        raise RuntimeError("both windowed-encoder layouts failed; "
-                           "see stderr for the per-layout errors")
-    best_layout = min(layout_ms, key=layout_ms.get)
-    we.GATHER_LAYOUT = best_layout == "gather"
-    dt_fast = layout_ms[best_layout]
 
     # headline: batched multi-sequence offline tracking, tpu-fast mode
     # (windowed encoder + exact-MSDA decoder + cached prev-frame memory).
     # A failure here (e.g. HBM pressure at a larger BENCH_BATCH) must not
     # zero the whole artifact: fall back to the measured B=1 number.
-    try:
-        dt_batched = run_mode("windowed", "msda", BATCH, 10, cached=True)
-    except Exception as e:
-        print(f"# batched mode failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        dt_batched = None
-    fps_aggregate = (BATCH / dt_batched if dt_batched else 1.0 / dt_fast)
+    used_batch = BATCH
+
+    def run_batched(b):
+        try:
+            return run_mode("windowed", "msda", b, 10, cached=True)
+        except Exception as e:
+            print(f"# batched B={b} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return None
+
+    dt_batched = run_batched(BATCH)
     # reference-parity mode: exact MSDA everywhere (skippable: it adds a
     # large first-run compile through the remote-compile hop)
     dt_parity = None
@@ -221,6 +219,36 @@ def main():
         except Exception as e:
             print(f"# parity mode failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+
+    # optional: windowed-layout A/B (transpose-chain vs token-permutation
+    # gathers, models/windowed_encoder.py GATHER_LAYOUT — identical
+    # numerics per tests/test_models.py::test_window_gather_layout_
+    # equivalence); if the other layout wins at B=1, re-measure the
+    # batched headline with it.
+    if not forced_layout and budget_left() > 600:
+        we.GATHER_LAYOUT = True
+        try:
+            layout_ms["gather"] = run_mode("windowed", "msda", 1, 10,
+                                           cached=True)
+        except Exception as e:
+            print(f"# window layout gather failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    best_layout = min(layout_ms, key=layout_ms.get)
+    we.GATHER_LAYOUT = best_layout == "gather"
+    dt_fast = layout_ms[best_layout]
+    if best_layout != first_layout and budget_left() > 600:
+        dt_b2 = run_batched(BATCH)
+        if dt_b2 is not None and (dt_batched is None or dt_b2 < dt_batched):
+            dt_batched = dt_b2
+
+    # optional: more sequences in lockstep amortize further if HBM allows
+    if BATCH == 8 and dt_batched is not None and budget_left() > 600:
+        dt_b16 = run_batched(16)
+        if dt_b16 is not None and 16 / dt_b16 > BATCH / dt_batched:
+            dt_batched, used_batch = dt_b16, 16
+
+    fps_aggregate = (used_batch / dt_batched if dt_batched
+                     else 1.0 / dt_fast)
 
     agreement = None
     agree_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -236,9 +264,9 @@ def main():
         "vs_baseline": round(fps_aggregate / ASSUMED_REFERENCE_A100_FPS, 3),
         "baseline": ("ASSUMED 10 fps A100 batch-1 PyTorch (reference "
                      "publishes no runtime)"),
-        "mode": (f"batched offline tracking, {BATCH} sequences in lockstep; "
-                 "windowed encoder + exact-MSDA decoder + cached prev-frame "
-                 "memory"),
+        "mode": (f"batched offline tracking, {used_batch} sequences in "
+                 "lockstep; windowed encoder + exact-MSDA decoder + cached "
+                 "prev-frame memory"),
         "batched_step_ms": (round(dt_batched * 1e3, 2)
                             if dt_batched else "failed (see stderr)"),
         "mode_fast_fps": round(1.0 / dt_fast, 3),

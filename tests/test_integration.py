@@ -98,3 +98,27 @@ def test_checkpoint_resume_optimizer(synth_root, tmp_path):
     steps1 = int(state1.step)
     state2 = main(common + ["resume_optim=true", "epochs=2"])
     assert int(state2.step) > steps1
+
+
+def test_train_model_parallel(synth_root, tmp_path):
+    """tpu.model_parallel=2 trains through the CLI on a (data, model) mesh
+    with attention/FFN params actually sharded over the model axis."""
+    from trackformer_tpu.cli.train import main
+    import jax
+    out = tmp_path / "out_mp"
+    state = main([
+        "with", *TINY,
+        "dataset=mot",
+        f"mot_path_train={synth_root}", f"mot_path_val={synth_root}",
+        "train_split=synth_train", "val_split=synth_train",
+        "tracking_eval=false", "tpu.model_parallel=2",
+        f"output_dir={out}",
+    ])
+    assert int(state.step) >= 1
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    model_sharded = [
+        "/".join(str(getattr(k, "key", k)) for k in kp)
+        for kp, leaf in flat
+        if "model" in str(getattr(leaf, "sharding", ""))]
+    assert any(p.endswith("linear1/kernel") for p in model_sharded), \
+        model_sharded[:5]

@@ -135,10 +135,20 @@ def main(argv=None):
         return collate_fn(samples, buckets, max_objects,
                           with_masks=args.masks)
 
-    # data-parallel mesh over the largest device count dividing the batch
+    # data-parallel mesh over the largest device count dividing the batch;
+    # tpu.model_parallel > 1 carves a second "model" axis off the devices
+    # and shards attention heads / FFN hidden over it (parallel/tp.py)
     n_dev = len(jax.devices())
-    use_dev = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
-    mesh = make_mesh(use_dev)
+    mp = int(tpu_cfg.get("model_parallel", 1) or 1)
+    if mp > 1:
+        from ..parallel import make_mesh_2d
+        n_data = max(d for d in range(1, n_dev // mp + 1)
+                     if args.batch_size % d == 0)
+        mesh = make_mesh_2d(n_data, mp)
+    else:
+        use_dev = max(d for d in range(1, n_dev + 1)
+                      if args.batch_size % d == 0)
+        mesh = make_mesh(use_dev)
     data_sh = NamedSharding(mesh, P("data"))
     repl_sh = NamedSharding(mesh, P())
 
@@ -203,9 +213,18 @@ def main(argv=None):
     steps_per_epoch = (len(dataset_train) // max(args.batch_size, 1)
                        if dataset_train else 1)
     args.lr_drop_steps = args.lr_drop * steps_per_epoch
+    if mp > 1:
+        # shard params BEFORE optimizer init so optax's zeros_like moment
+        # buffers inherit the model-axis shardings; non-matching leaves
+        # (and TrainState.step) land replicated
+        from ..parallel import shard_params
+        params = shard_params(params, mesh)
     optimizer = make_optimizer(args, params)
     state = TrainState.create(params, optimizer)
-    state = jax.tree.map(lambda x: jax.device_put(x, repl_sh), state)
+    if mp > 1:
+        state = state.replace(step=jax.device_put(state.step, repl_sh))
+    else:
+        state = jax.tree.map(lambda x: jax.device_put(x, repl_sh), state)
 
     ckpt = None
     start_epoch = args.start_epoch
