@@ -339,7 +339,7 @@ def _kernel_v3(scal_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, cw, n_points,
 
 
 def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, cw, n_points,
-               n_heads, d_head, v_dtype):
+               n_heads, d_head, md_pad, v_dtype):
     """Grid (N, nQ).  ranges int32 layout [lo | hi | xlo | xhi] (each
     N*nQ), hi/xhi inclusive; empty range encoded as lo > hi.  qinfo
     (1, TQ, M*3P) VMEM; v_hbm (N, CP, M*D) unblocked (ANY/HBM); out
@@ -425,7 +425,7 @@ def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, cw, n_points,
 
     pl.run_scoped(
         scoped,
-        scratch=pltpu.VMEM((2, ts, n_heads * d_head), v_dtype),
+        scratch=pltpu.VMEM((2, ts, md_pad), v_dtype),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -474,6 +474,11 @@ def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
     v = _pad_to(v, 2, wp) if wp != w else v
     v = v.reshape(n, h * wp, m * d)
     v = _pad_to(v, 1, ts)
+    # Mosaic requires manual-DMA slice shapes 128-aligned in the minor
+    # dim; pad the feature dim so the y-tile DMA copies whole lanes (head
+    # column offsets are unchanged — padding is appended after head m-1).
+    v = _pad_to(v, 2, 128)
+    md_pad = v.shape[2]
     cp = v.shape[1]
     n_s = cp // ts
 
@@ -514,7 +519,8 @@ def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
     )
     out = pl.pallas_call(
         functools.partial(_kernel_v4, ts=ts, wp=wp, cw=cw, n_points=p,
-                          n_heads=m, d_head=d, v_dtype=value_l.dtype),
+                          n_heads=m, d_head=d, md_pad=md_pad,
+                          v_dtype=value_l.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, lqp, m * d), jnp.float32),
         cost_estimate=pl.CostEstimate(
