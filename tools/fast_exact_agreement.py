@@ -22,6 +22,7 @@ Flagship regime (VERDICT r2 weak #2 — meaningful scale, run on TPU):
 from __future__ import annotations
 
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -31,6 +32,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 350
 SCALE = sys.argv[2] if len(sys.argv) > 2 else "small"
+# Wall-clock escape hatch: train only the first AGREE_MAX_STEPS of the
+# STEPS-step schedule (lr boundaries, /tmp cache keys stay derived from
+# STEPS, so the jitted program and any mid-train checkpoints keyed on STEPS
+# remain reusable by a later full-length run).
+MAX_STEPS = int(os.environ.get("AGREE_MAX_STEPS", str(10 ** 9)))
 if SCALE == "flagship":
     # flagship-geometry regime: real input resolution class, full
     # depth/width (288 dim, 6+6 layers, 8 heads) so the window-size vs
@@ -159,21 +165,47 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
         np.savez(tmp, **arrs)
         tmp.replace(tck)
 
+    # Feed from DEVICE-RESIDENT data: uploading each step's 4 images anew
+    # costs ~0.1-1 s/step through the axon tunnel (~100 MB/s effective,
+    # CLAUDE.md), which dominated the first on-chip flagship attempt.
+    # Upload all scenes once, then per-step device-side takes.
+    scenes_dev = jnp.asarray(np.stack([s[0] for s in train_scenes]))
+    targets_all = to_targets([s[1] for s in train_scenes])
+    # validity mask is size-only -> constant across steps; build once
+    batch_tmpl = FrameBatch.from_images(scenes_dev[:BATCH],
+                                        jnp.array([[H, W]] * BATCH))
+
+    # Losses stay device arrays until a sync point (print/save cadence):
+    # a per-step float() readback adds an RTT-long pipeline stall per step.
+    pend = []
+
+    def drain():
+        nonlocal pend
+        losses.extend(float(v) for v in pend)
+        pend = []
+
     order = np.random.RandomState(seed + 1)
+    end = min(STEPS, max(start, MAX_STEPS))
     for it in range(STEPS):
         idx = order.choice(len(train_scenes), BATCH, replace=False)
-        if it < start:
+        if it < start or it >= end:
             continue
         if it % 100 == 0:
-            print(f"{mode} step {it}/{STEPS}", flush=True)
-        imgs = jnp.asarray(np.stack([train_scenes[i][0] for i in idx]))
-        targets = to_targets([train_scenes[i][1] for i in idx])
-        pack = {"batch": FrameBatch.from_images(
-            imgs, jnp.array([[H, W]] * BATCH)), "targets": targets}
+            drain()
+            print(f"{mode} step {it}/{STEPS}"
+                  + (f" (budget {end})" if end < STEPS else ""), flush=True)
+        idx_dev = jnp.asarray(idx)
+        imgs = jnp.take(scenes_dev, idx_dev, axis=0)
+        targets = jax.tree.map(lambda x: jnp.take(x, idx_dev, axis=0),
+                               targets_all)
+        pack = {"batch": batch_tmpl.replace(images=imgs),
+                "targets": targets}
         state, metrics = step(state, pack, jax.random.PRNGKey(it))
-        losses.append(float(metrics["loss"]))
-        if (it + 1) % SAVE_EVERY == 0 and it + 1 < STEPS:
+        pend.append(metrics["loss"])
+        if (it + 1) % SAVE_EVERY == 0 and it + 1 < end:
+            drain()
             save_train(it + 1)
+    drain()
     print(f"{mode}: loss {np.mean(losses[:10]):.3f} -> "
           f"{np.mean(losses[-10:]):.3f}", flush=True)
 
@@ -277,10 +309,13 @@ def main():
     exact_ap, exact_ap50 = eval_map(exact_preds, gt)
     fast_ap, fast_ap50 = eval_map(fast_preds, gt)
     cross_ap, cross_ap50 = eval_map(fast_preds, preds_to_anns(exact_preds))
+    steps_trained = min(STEPS, MAX_STEPS)
     result = {
         "task": (f"synthetic {W}x{H} rectangle detection, {N_TRAIN} train /"
-                 f" {N_EVAL} held-out scenes, {STEPS} steps each mode"),
+                 f" {N_EVAL} held-out scenes, {steps_trained} steps each"
+                 " mode"),
         "agreement_scale": SCALE,
+        "steps_trained": steps_trained,
         "model": dict(MODEL_OVER),
         "exact_map": round(exact_ap, 4),
         "fast_map": round(fast_ap, 4),
