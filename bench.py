@@ -241,6 +241,31 @@ def main():
         if dt_b2 is not None and (dt_batched is None or dt_b2 < dt_batched):
             dt_batched = dt_b2
 
+    # optional: small-op fusion A/B (batched cross-level fusion + fused q/k
+    # projection — identical params and numerics per tests/test_models.py::
+    # test_fused_smallops_equivalence); route if faster.
+    from trackformer_tpu.models import attention as att
+    smallops = os.environ.get("BENCH_SMALLOPS_FUSED")
+    smallops_ms = None
+    if smallops is None and budget_left() > 600:
+        we.FUSION_IMPL, att.QK_FUSED = "batched", True
+        try:
+            smallops_ms = run_mode("windowed", "msda", 1, 10, cached=True)
+        except Exception as e:
+            print(f"# smallops fused failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        if smallops_ms is not None and smallops_ms < dt_fast:
+            dt_fast = smallops_ms
+            if budget_left() > 600:
+                dt_b3 = run_batched(BATCH)
+                if dt_b3 is not None and (dt_batched is None
+                                          or dt_b3 < dt_batched):
+                    dt_batched = dt_b3
+        else:
+            we.FUSION_IMPL, att.QK_FUSED = "perlevel", False
+    elif smallops == "1":
+        we.FUSION_IMPL, att.QK_FUSED = "batched", True
+
     # optional: more sequences in lockstep amortize further if HBM allows
     if BATCH == 8 and dt_batched is not None and budget_left() > 600:
         dt_b16 = run_batched(16)
@@ -277,6 +302,9 @@ def main():
         "window_layout": best_layout,
         "window_layout_bench_ms": {k: round(v * 1e3, 2)
                                    for k, v in layout_ms.items()},
+        "smallops_fused": bool(att.QK_FUSED),
+        "smallops_fused_bench_ms": (round(smallops_ms * 1e3, 2)
+                                    if smallops_ms else None),
         "fast_vs_exact_agreement": agreement,
     }
     print(json.dumps(out))

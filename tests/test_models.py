@@ -136,3 +136,72 @@ def test_window_gather_layout_equivalence():
     assert out0.shape == out1.shape
     assert bool(jnp.max(jnp.abs(out0 - out1)) < 1e-5), float(
         jnp.max(jnp.abs(out0 - out1)))
+
+
+def test_nearest_idx_matches_resize():
+    """The static 1-D index maps behind the batched cross-level fusion must
+    reproduce `_nearest_resize` exactly for every ladder geometry in play:
+    exact factor-2 up/down and the odd general cases (25<->13, 13<->7)."""
+    import numpy as np
+
+    from trackformer_tpu.models import windowed_encoder as we
+
+    rng = jax.random.PRNGKey(0)
+    pairs = [((100, 168), (50, 84)), ((50, 84), (100, 168)),
+             ((25, 42), (13, 21)), ((13, 21), (25, 42)),
+             ((13, 21), (7, 11)), ((7, 11), (13, 21)),
+             ((10, 14), (5, 7)), ((3, 4), (5, 7)), ((5, 7), (3, 4))]
+    for (hi, wi), (ho, wo) in pairs:
+        x = jax.random.normal(rng, (2, hi, wi, 3))
+        want = we._nearest_resize(x, (2, ho, wo, 3))
+        r = we._nearest_idx(ho, hi)
+        c = we._nearest_idx(wo, wi)
+        got = x[:, r][:, :, c]
+        assert bool(jnp.all(want == got)), ((hi, wi), (ho, wo))
+        assert np.all(r >= 0) and np.all(r < hi)
+        assert np.all(c >= 0) and np.all(c < wi)
+
+
+def test_fused_smallops_equivalence():
+    """Batched cross-level fusion + fused q/k projection must (a) create the
+    exact same parameter pytree as the per-module formulation and (b) agree
+    numerically (float reassociation tolerance only)."""
+    from trackformer_tpu.models import attention as att
+    from trackformer_tpu.models import windowed_encoder as we
+
+    rng = jax.random.PRNGKey(0)
+    b, c = 2, 32
+    shapes = [(10, 14), (5, 7), (3, 4)]
+    keys = jax.random.split(rng, 2 * len(shapes))
+    srcs = [jax.random.normal(keys[i], (b, h, w, c))
+            for i, (h, w) in enumerate(shapes)]
+    poses = [jax.random.normal(keys[len(shapes) + i], (b, h, w, c))
+             for i, (h, w) in enumerate(shapes)]
+    masks = []
+    for h, w in shapes:
+        m = jnp.zeros((b, h, w), bool)
+        m = m.at[1, h - max(1, h // 4):, :].set(True)
+        masks.append(m)
+
+    enc = we.WindowedEncoder(c, num_layers=2, nheads=4, dim_feedforward=64,
+                             window=8)
+    prev = (we.FUSION_IMPL, att.QK_FUSED)
+    try:
+        we.FUSION_IMPL, att.QK_FUSED = "perlevel", False
+        params = enc.init(jax.random.PRNGKey(1), srcs, masks, poses)
+        out0 = enc.apply(params, srcs, masks, poses)
+        we.FUSION_IMPL, att.QK_FUSED = "batched", True
+        params1 = enc.init(jax.random.PRNGKey(1), srcs, masks, poses)
+        # identical tree structure AND identical leaf values (same init rng
+        # folding per path) -> checkpoints interchangeable between impls
+        flat0 = jax.tree_util.tree_flatten_with_path(params)
+        flat1 = jax.tree_util.tree_flatten_with_path(params1)
+        assert [p for p, _ in flat0[0]] == [p for p, _ in flat1[0]]
+        assert flat0[1] == flat1[1]
+        for (p0, l0), (_, l1) in zip(flat0[0], flat1[0]):
+            assert l0.shape == l1.shape and bool(jnp.all(l0 == l1)), p0
+        out1 = enc.apply(params, srcs, masks, poses)
+    finally:
+        we.FUSION_IMPL, att.QK_FUSED = prev
+    err = float(jnp.max(jnp.abs(out0 - out1)))
+    assert err < 1e-5, err

@@ -8,10 +8,21 @@ softmax / PV chain onto the MXU; params stay f32, compute follows `dtype`.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+from .fused_params import DenseParams
+
+# When the SAME array is passed as query and key (encoder window
+# self-attention, decoder self-attention — q = k = x + pos), the q/k
+# projections share their input and can be ONE concatenated-kernel matmul
+# instead of two: identical contractions per output column, identical
+# parameter tree (fused_params.DenseParams), so numerics and checkpoints
+# are unchanged. Module-level so bench.py can A/B it on the live chip.
+QK_FUSED = os.environ.get("ATTN_QK_FUSED", "0") == "1"
 
 
 class MultiHeadAttention(nn.Module):
@@ -30,8 +41,17 @@ class MultiHeadAttention(nn.Module):
         lk = key.shape[1]
         h, dh = self.num_heads, self.d_model // self.num_heads
 
-        q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(query)
-        k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(key)
+        if QK_FUSED and query is key:
+            c_in = query.shape[-1]
+            kq, bq = DenseParams(self.d_model, c_in, name="q_proj")()
+            kk, bk = DenseParams(self.d_model, c_in, name="k_proj")()
+            w = jnp.concatenate([kq, kk], axis=1).astype(self.dtype)
+            bias2 = jnp.concatenate([bq, bk]).astype(self.dtype)
+            qk = query.astype(self.dtype) @ w + bias2
+            q, k = qk[..., :self.d_model], qk[..., self.d_model:]
+        else:
+            q = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(query)
+            k = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(value)
 
         q = q.reshape(b, lq, h, dh).transpose(0, 2, 1, 3)

@@ -25,6 +25,7 @@ query count is tiny, so the gather cost is negligible there.
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, List, Sequence, Tuple
 
@@ -34,6 +35,7 @@ import numpy as np
 from flax import linen as nn
 
 from .attention import MultiHeadAttention
+from .fused_params import DenseParams, LayerNormParams
 
 # Windowed-layout strategy. "0" (default): per-level roll/pad/
 # reshape-transpose chains (window_partition/window_merge). "1": ONE
@@ -46,6 +48,17 @@ from .attention import MultiHeadAttention
 # Module-level so bench.py can A/B both layouts on the live chip and route
 # the winner; read at trace time.
 GATHER_LAYOUT = os.environ.get("WINDOW_GATHER_LAYOUT", "0") == "1"
+
+# Cross-level fusion strategy. "perlevel" (default): per-level resize +
+# nn.Dense + nn.LayerNorm modules (6 matmuls + 4 norms + 6 resizes per
+# fusion at 4 levels — each individually latency-bound). "batched": the
+# identical math as TWO static row-gathers (each token's up/down nearest-
+# resize neighbor index is a compile-time constant) + ONE stacked matmul
+# over all levels + ONE flat layer-norm with per-token (per-level)
+# scale/shift. Parameter tree is identical (fused_params.py), numerics agree
+# to float reassociation (tests/test_models.py::test_fused_smallops_
+# equivalence). Module-level so bench.py can A/B both on the live chip.
+FUSION_IMPL = os.environ.get("WINDOW_FUSION_IMPL", "perlevel")
 
 
 def _pad_hw(x: jnp.ndarray, win: int) -> Tuple[jnp.ndarray, int, int]:
@@ -263,6 +276,51 @@ def _nearest_resize(x: jnp.ndarray, shape) -> jnp.ndarray:
     return jax.image.resize(x, shape, "nearest")
 
 
+def _nearest_idx(n_out: int, n_in: int) -> np.ndarray:
+    """Source index per output position for 1-D nearest resize, matching
+    `_nearest_resize` (incl. its exact-factor-2 fast paths and
+    jax.image.resize's half-pixel-center floor rule for the general case);
+    equality with the jax op is asserted in
+    tests/test_models.py::test_nearest_idx_matches_resize."""
+    if n_in == 2 * n_out:
+        return np.arange(n_out) * 2 + 1
+    if 2 * n_in == n_out:
+        return np.arange(n_out) // 2
+    return np.floor((np.arange(n_out) + 0.5) * n_in / n_out).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=None)
+def _fusion_index_maps(hw: Tuple[Tuple[int, int], ...]):
+    """Static flat-token index maps for the batched cross-level fusion.
+
+    For the concatenated level-major token order (total S tokens):
+      up (S,)    — flat index of each token's nearest-resize source in the
+                   NEXT (coarser) level, or S (a zero dummy row) at the last
+                   level;
+      down (S,)  — same for the PREVIOUS (finer) level, dummy at level 0;
+      lid (S,)   — each token's level id.
+    """
+    sizes = [h * w for h, w in hw]
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    s_total = int(starts[-1])
+    up = np.full(s_total, s_total, np.int64)
+    down = np.full(s_total, s_total, np.int64)
+    for i, (h, w) in enumerate(hw):
+        sl = slice(starts[i], starts[i + 1])
+        if i + 1 < len(hw):
+            hi, wi = hw[i + 1]
+            r, c = _nearest_idx(h, hi), _nearest_idx(w, wi)
+            up[sl] = (starts[i + 1] + r[:, None] * wi + c[None, :]).reshape(-1)
+        if i > 0:
+            hi, wi = hw[i - 1]
+            r, c = _nearest_idx(h, hi), _nearest_idx(w, wi)
+            down[sl] = (starts[i - 1] + r[:, None] * wi
+                        + c[None, :]).reshape(-1)
+    lid = np.concatenate([np.full(sz, i, np.int64)
+                          for i, sz in enumerate(sizes)])
+    return (up.astype(np.int32), down.astype(np.int32), lid.astype(np.int32))
+
+
 class CrossLevelFusion(nn.Module):
     """Top-down + bottom-up level mixing (stands in for MSDA's cross-level
     sampling): each level receives resized, 1x1-projected neighbors."""
@@ -271,6 +329,8 @@ class CrossLevelFusion(nn.Module):
 
     @nn.compact
     def __call__(self, levels: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        if FUSION_IMPL == "batched" and len(levels) > 1:
+            return self._batched(levels)
         out = []
         for i, x in enumerate(levels):
             acc = x
@@ -283,6 +343,67 @@ class CrossLevelFusion(nn.Module):
                 acc = acc + nn.Dense(self.d_model, dtype=self.dtype,
                                      name=f"down_{i}")(down)
             out.append(nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(acc))
+        return out
+
+    def _batched(self, levels: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        """Same math, same params, fewer/larger ops: neighbor pick-up as two
+        static row-gathers, all levels' up+down projections as one stacked
+        (L, 2C, C) matmul with a per-token level select, and one flat
+        layer-norm with per-token scale/shift. The extra (L-1)/L of the
+        stacked matmul's FLOPs is ~0.1 ms at flagship scale — the point is
+        replacing ~16 latency-bound small ops per fusion with ~5 large ones."""
+        n_lvl, c = len(levels), self.d_model
+        shapes = [x.shape for x in levels]
+        up_i, down_i, lid = _fusion_index_maps(
+            tuple((s[1], s[2]) for s in shapes))
+        b = shapes[0][0]
+
+        flat = jnp.concatenate([x.reshape(b, -1, c) for x in levels], axis=1)
+        flatz = jnp.concatenate(
+            [flat, jnp.zeros((b, 1, c), flat.dtype)], axis=1)
+        up_in = jnp.take(flatz, jnp.asarray(up_i), axis=1)
+        down_in = jnp.take(flatz, jnp.asarray(down_i), axis=1)
+        cat = jnp.concatenate([up_in, down_in], axis=-1).astype(self.dtype)
+
+        zk = jnp.zeros((c, c), jnp.float32)
+        zb = jnp.zeros((c,), jnp.float32)
+        ws, bs, gs, betas = [], [], [], []
+        for i in range(n_lvl):
+            ku, bu = ((DenseParams(c, c, name=f"up_{i}")())
+                      if i + 1 < n_lvl else (zk, zb))
+            kd, bd = ((DenseParams(c, c, name=f"down_{i}")())
+                      if i > 0 else (zk, zb))
+            ws.append(jnp.concatenate([ku, kd], axis=0))
+            bs.append(bu + bd)
+            s_, b_ = LayerNormParams(c, name=f"norm_{i}")()
+            gs.append(s_)
+            betas.append(b_)
+        w = jnp.stack(ws).astype(self.dtype)            # (L, 2C, C)
+        bias = jnp.stack(bs)                            # (L, C) f32
+        lid_j = jnp.asarray(lid)
+
+        proj = jnp.einsum("bsc,lcd->bsld", cat, w)      # (B, S, L, C)
+        sel = jnp.take_along_axis(
+            proj, lid_j[None, :, None, None].astype(jnp.int32), axis=2
+        )[:, :, 0]
+        acc = (flat.astype(self.dtype) + sel
+               + jnp.take(bias, lid_j, axis=0).astype(self.dtype))
+
+        # LayerNorm with per-token (per-level) scale/shift; stats in f32
+        # with E[x^2]-E[x]^2 and eps 1e-6, exactly as nn.LayerNorm
+        x32 = acc.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+        y = (x32 - mean) * jax.lax.rsqrt(var + 1e-6)
+        g_tok = jnp.take(jnp.stack(gs), lid_j, axis=0)
+        b_tok = jnp.take(jnp.stack(betas), lid_j, axis=0)
+        out_flat = (y * g_tok + b_tok).astype(self.dtype)
+
+        out, off = [], 0
+        for s in shapes:
+            n = s[1] * s[2]
+            out.append(out_flat[:, off:off + n].reshape(s[0], s[1], s[2], c))
+            off += n
         return out
 
 
