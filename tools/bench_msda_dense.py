@@ -143,19 +143,32 @@ if __name__ == "__main__":
               if s not in ("--levels", "--tiles")] or [0.02]
     for sigma in sigmas:
         if tile_grid:
-            for lvl in (0, 1):
-                for tq in (256, 512, 1024):
-                    for rows in (4, 8, 16):
-                        try:
-                            dt = bench_level(lvl, "v2", sigma, tq, rows)
-                        except Exception as e:
-                            print(f"sigma={sigma:5.3f} L{lvl} tq={tq} "
-                                  f"rows={rows}: FAIL "
-                                  f"{type(e).__name__}", flush=True)
-                            continue
-                        print(f"sigma={sigma:5.3f} L{lvl} tq={tq} "
-                              f"rows={rows}: {dt * 1e3:8.2f} ms",
-                              flush=True)
+            # smaller q-tiles tighten each tile's y-extent (fewer active
+            # pairs) and smaller row counts cut wasted hat rows (each query
+            # has exactly 2 nonzero wy rows) — sweep below the defaults too.
+            # Matrix env-overridable: TILES_LVLS/TILES_IMPLS/TILES_TQ/
+            # TILES_ROWS as comma lists.
+            import os as _os
+
+            def _csv(name, default, cast):
+                v = _os.environ.get(name)
+                return default if not v else tuple(
+                    cast(t) for t in v.split(","))
+
+            for lvl in _csv("TILES_LVLS", (0, 1), int):
+                for impl in _csv("TILES_IMPLS", ("v2", "v4"), str):
+                    for tq in _csv("TILES_TQ", (128, 256, 512), int):
+                        for rows in _csv("TILES_ROWS", (1, 2, 4, 8), int):
+                            try:
+                                dt = bench_level(lvl, impl, sigma, tq, rows)
+                            except Exception as e:
+                                print(f"sigma={sigma:5.3f} L{lvl} {impl} "
+                                      f"tq={tq} rows={rows}: FAIL "
+                                      f"{type(e).__name__}", flush=True)
+                                continue
+                            print(f"sigma={sigma:5.3f} L{lvl} {impl} "
+                                  f"tq={tq} rows={rows}: {dt * 1e3:8.2f} ms",
+                                  flush=True)
         elif per_level:
             for lvl in range(L):
                 for impl in ("v1", "v2", "v4", "v4s"):

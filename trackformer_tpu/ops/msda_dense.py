@@ -38,6 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 P_UNROLL_MAX = 8  # static unroll bound for the points loop
 
+# Tile knobs for the block-skipping kernels (v2/v4), read at trace time
+# when the caller leaves tq/rows_per_tile unset (flipping after a
+# same-shape call requires ms_deform_attn.clear_cache()).  Smaller q-tiles
+# tighten each tile's y-extent (fewer active (q, s) pairs — raster-order
+# extent scales with TQ) and smaller row counts cut wasted hat rows (each
+# sample has exactly 2 nonzero wy rows); both raise per-step grid/DMA
+# overhead, so the sweet spot is measured (tools/bench_msda_dense.py
+# --tiles) and routed here.
+V2_TQ = 256
+V2_ROWS = None  # None = max(1, 1024 // wp)
+
 
 # ---------------------------------------------------------------------------
 # v2: block-skipping kernel (encoder scale, level 0 included)
@@ -118,13 +129,17 @@ def _kernel_v2(flags_ref, qinfo_ref, v_ref, o_ref, *, ts, wp, n_points,
                    static_argnames=("h", "w", "tq", "rows_per_tile",
                                     "interpret", "_force_flags"))
 def _dense_level_pallas_v2_fwd(value_l, loc_l, attn_l, h, w,
-                               tq=256, rows_per_tile=None, interpret=False,
+                               tq=None, rows_per_tile=None, interpret=False,
                                _force_flags=None):
     """Block-skipping variant.  Same contract as `_dense_level_pallas_fwd`.
 
     value_l (N, H*W, M, D); loc_l (N, Lq, M, P, 2) in [0,1];
     attn_l (N, Lq, M, P) -> (N, Lq, M, D) f32.
     """
+    if tq is None:
+        tq = V2_TQ
+    if rows_per_tile is None:
+        rows_per_tile = V2_ROWS
     n, c, m, d = value_l.shape
     _, lq, _, p, _ = loc_l.shape
     assert c == h * w, (c, h, w)
@@ -434,7 +449,7 @@ def _kernel_v4(ranges_ref, qinfo_ref, v_hbm, o_ref, *, ts, wp, cw, n_points,
                    static_argnames=("h", "w", "tq", "rows_per_tile", "cw",
                                     "interpret"))
 def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
-                               tq=256, rows_per_tile=None, cw=None,
+                               tq=None, rows_per_tile=None, cw=None,
                                perm=None, interpret=False):
     """Compacted-grid variant.  Same contract/numerics as v2.  `cw`
     (static, multiple of 8) sets the x-chunk width of the in-kernel
@@ -442,6 +457,10 @@ def _dense_level_pallas_v4_fwd(value_l, loc_l, attn_l, h, w,
     (N, Lq) sorts queries before tiling (raster-ordered encoder tiles
     span full rows, so x-chunking only pays with a 2-D-local order —
     pass spatial_sort_perm's output); outputs are unsorted back."""
+    if tq is None:
+        tq = V2_TQ
+    if rows_per_tile is None:
+        rows_per_tile = V2_ROWS
     n, c, m, d = value_l.shape
     _, lq, _, p, _ = loc_l.shape
     assert c == h * w, (c, h, w)
