@@ -49,6 +49,13 @@ def op_for_mode(mode):
         return lambda v, l, a: ms_deform_attn(
             v, SHAPES, l, a, pallas_dense=(mode == "pallas_v1"))
 
+    if mode.startswith("v5"):
+        # fused all-levels patch-walk kernel; "v5", "v5-512" etc. pick tq
+        from trackformer_tpu.ops.msda_patch import _msda_patch_fwd
+        tq = int(mode.split("-")[1]) if "-" in mode else None
+        return lambda v, l, a: _msda_patch_fwd(
+            v, SHAPES, l, a, tq=tq).reshape(N, S, M * D)
+
     def v2_all(value, loc, attn):
         acc = []
         off = 0
@@ -176,7 +183,16 @@ if __name__ == "__main__":
                     print(f"sigma={sigma:5.3f} L{lvl} {impl}: "
                           f"{dt * 1e3:8.2f} ms", flush=True)
         else:
-            for mode in ("gather", "pallas_v1", "v2_all"):
-                dt = bench(mode, sigma)
+            import os as _os
+            modes = tuple((_os.environ.get(
+                "BENCH_MODES", "gather,pallas_v1,v2_all,v5,v5-512")
+            ).split(","))
+            for mode in modes:
+                try:
+                    dt = bench(mode, sigma)
+                except Exception as e:
+                    print(f"sigma={sigma:5.3f} {mode:10s}: FAIL "
+                          f"{type(e).__name__}: {e}", flush=True)
+                    continue
                 print(f"sigma={sigma:5.3f} {mode:10s}: {dt * 1e3:8.2f} ms "
                       f"/ layer-equivalent", flush=True)

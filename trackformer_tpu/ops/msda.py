@@ -143,12 +143,17 @@ PALLAS_V2_MIN_QUERIES = 4096
 # with an in-kernel dynamic range walk + manual double-buffered DMA,
 # x-chunk width PALLAS_V4_CW, and (when PALLAS_V4_SORT) ONE hoisted
 # spatial argsort shared by every level of the call.
+# "v5" = the fused all-levels patch-walk kernel (ops/msda_patch.py): ONE
+# pallas_call serving every level, 8x16-cell chunks walked per q-tile's
+# 2-D bounding rectangle, queries pre-sorted by a STATIC snake-bucket
+# permutation (requires the encoder self-pattern Lq == S; other calls
+# fall through to the v2/v4 routing below).
 # Module-level so benches can flip them; read at trace time — flipping
 # after a same-shape call requires ms_deform_attn.clear_cache().
-# "v2" is the measured-good default (PLAN.md); the env override lets a
-# deployment route "v4" without a code change once it is measured on its
-# chips (bench.py auto-picks between the two at bench time).
-PALLAS_SKIP_IMPL = os.environ.get("PALLAS_SKIP_IMPL", "v2")
+# "v5" is the measured-good default (PLAN.md round-4 table); the env
+# override lets a deployment re-route without a code change (bench.py
+# auto-picks between the generations at bench time).
+PALLAS_SKIP_IMPL = os.environ.get("PALLAS_SKIP_IMPL", "v5")
 PALLAS_V4_CW = 64
 PALLAS_V4_SORT = True
 
@@ -186,6 +191,18 @@ def ms_deform_attn(value: jnp.ndarray,
 
     if pallas_dense is None:
         pallas_dense = _on_tpu()
+
+    # v5: encoder self-pattern (queries == tokens) -> ONE fused patch-walk
+    # kernel over all levels; exact numerics for ANY query set (the static
+    # sort only shapes the walk rectangles), but the locality win assumes
+    # Lq == S, which is also what makes the permutation static.
+    if (PALLAS_SKIP_IMPL == "v5" and pallas_dense and lq == s
+            and lq >= PALLAS_V2_MIN_QUERIES and p <= 8):
+        from .msda_patch import msda_patch
+        out = msda_patch(value, spatial_shapes, sampling_locations,
+                         attention_weights, not _on_tpu())
+        return out.astype(value.dtype).reshape(n, lq, m * d)
+
     dense_levels = [i for i, (h, w) in enumerate(spatial_shapes)
                     if lq * m * h * w <= dense_cell_budget]
     v2_levels = [i for i, (h, w) in enumerate(spatial_shapes)
