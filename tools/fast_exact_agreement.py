@@ -301,6 +301,20 @@ def main():
     eval_scenes = [make_scene(rng) for _ in range(N_EVAL)]
     gt = boxes_to_anns(eval_scenes)
 
+    # AGREE_MODES=exact (or =fast) trains just that arm and exits — lets a
+    # long flagship run fill the TPU with the exact arm while the fast
+    # architecture is still being ablated; the cached per-mode checkpoint
+    # makes the final both-arms invocation free for the completed side.
+    only = os.environ.get("AGREE_MODES")
+    if only and "exact" not in only.split(","):
+        pass
+    else:
+        _run_mode_cached("exact", train_scenes, eval_scenes)
+    if only and "fast" not in only.split(","):
+        print(f"AGREE_MODES={only}: stopping before the other arm",
+              flush=True)
+        return
+
     exact_preds, exact_losses = _run_mode_cached("exact", train_scenes,
                                                  eval_scenes)
     fast_preds, fast_losses = _run_mode_cached("fast", train_scenes,

@@ -102,7 +102,15 @@ def loss_labels_focal(outputs, targets: Targets, match_q, num_boxes,
     tc = _scatter_target_classes(outputs, targets, match_q, cfg.num_classes)
 
     c = logits.shape[-1]
-    onehot = jax.nn.one_hot(tc, c, dtype=logits.dtype)  # no-object -> zeros
+    # Reference focal semantics (detr.py:225-229 + __init__.py:109: the
+    # criterion gets num_classes-1, so unmatched queries scatter a ONE at
+    # the LAST logit column — an explicit background class under sigmoid
+    # focal, not an all-zero row; the +1 column their scatter drops is one
+    # past the head width).  Background index is always c-1 (CE heads are
+    # c = classes+1 wide with no-object == classes == c-1, focal heads are
+    # c = classes wide with background == c-1).
+    tc = jnp.where(tc >= c, c - 1, tc)
+    onehot = jax.nn.one_hot(tc, c, dtype=logits.dtype)
     prob = jax.nn.sigmoid(logits)
     ce = sigmoid_binary_cross_entropy(logits, onehot)
     p_t = prob * onehot + (1 - prob) * (1 - onehot)
