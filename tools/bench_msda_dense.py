@@ -50,11 +50,18 @@ def op_for_mode(mode):
             v, SHAPES, l, a, pallas_dense=(mode == "pallas_v1"))
 
     if mode.startswith("v5"):
-        # fused all-levels patch-walk kernel; "v5", "v5-512" etc. pick tq
+        # fused all-levels patch-walk kernel; "v5", "v5-512" (tq),
+        # "v5-256-8x32" (tq + chunk geometry PHxPW)
         from trackformer_tpu.ops.msda_patch import _msda_patch_fwd
-        tq = int(mode.split("-")[1]) if "-" in mode else None
+        parts = mode.split("-")
+        tq = int(parts[1]) if len(parts) > 1 else None
+        ph = pw = None
+        if len(parts) > 2:
+            ph, pw = (int(t) for t in parts[2].split("x"))
+        debug = parts[3] if len(parts) > 3 else None  # bisection variants
         return lambda v, l, a: _msda_patch_fwd(
-            v, SHAPES, l, a, tq=tq).reshape(N, S, M * D)
+            v, SHAPES, l, a, tq=tq, ph=ph, pw=pw,
+            debug=debug).reshape(N, S, M * D)
 
     def v2_all(value, loc, attn):
         acc = []

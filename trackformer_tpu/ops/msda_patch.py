@@ -54,10 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .msda_dense import _level_out_gather, _pad_to
 
-# chunk geometry: PH x PW cells flatten to exactly one 128-wide lane group
-PH = 8
-PW = 16
-CS = PH * PW
+# chunk geometry default: PH x PW cells flatten to a whole number of
+# 128-wide lane groups.  Bigger chunks amortize the per-chunk walk
+# overhead (grid/DMA/loop bookkeeping, measured ~5-6 us) over more cells
+# at the price of more alignment slop; bench.py sweeps and routes.
+V5_PH = 8
+V5_PW = 32
 
 # q-tile size; bench-time autotuned (bench.py measures {256, 512} and
 # routes).  Read at trace time — flipping after a same-shape call requires
@@ -100,7 +102,8 @@ def snake_bucket_perm(spatial_shapes, bucket=8):
 
 
 def _kernel_v5(ranges_ref, qinfo_ref, v_hbm, o_ref, *, level_meta, tq,
-               n_points, n_heads, d_head, mdp, v_dtype):
+               n_points, n_heads, d_head, mdp, v_dtype, ph, pw,
+               debug=None):
     """Grid (N, nQ).  ranges int32 sections [cylo | cyhi | cxlo | cxhi],
     each N*nQ*L entries indexed ((n*nQ + q)*L + lvl).  qinfo
     (1, TQ, L*3*M*P) f32 VMEM, per-level blocks [x(m,p) | y(m,p) | a(m,p)].
@@ -123,10 +126,12 @@ def _kernel_v5(ranges_ref, qinfo_ref, v_hbm, o_ref, *, level_meta, tq,
 
     o_ref[0] = jnp.zeros_like(o_ref[0])
 
+    cs = ph * pw
+
     def scoped(scratch, sems):
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, CS), 1)
-        ydiv = (iota // PW).astype(jnp.float32)  # (1, CS) cell-row offset
-        xmod = (iota % PW).astype(jnp.float32)   # (1, CS) cell-col offset
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, cs), 1)
+        ydiv = (iota // pw).astype(jnp.float32)  # (1, cs) cell-row offset
+        xmod = (iota % pw).astype(jnp.float32)   # (1, cs) cell-col offset
 
         walk = []
         for lvl in range(n_levels):
@@ -147,7 +152,7 @@ def _kernel_v5(ranges_ref, qinfo_ref, v_hbm, o_ref, *, level_meta, tq,
 
         def dma(slot, chunk):
             return pltpu.make_async_copy(
-                v_hbm.at[n_i, pl.ds(chunk * CS, CS), :],
+                v_hbm.at[n_i, pl.ds(chunk * cs, cs), :],
                 scratch.at[slot], sems.at[slot])
 
         dma(0, cid(0, 0)).start()
@@ -173,42 +178,55 @@ def _kernel_v5(ranges_ref, qinfo_ref, v_hbm, o_ref, *, level_meta, tq,
                         dma((g + 1) % 2, cid(lvl + 1, 0)).start()
 
                 dma(slot, cid(lvl, t)).wait()
+                if debug == "nobody":  # walk + DMA only (bisection)
+                    o_ref[0, 0, 0] = o_ref[0, 0, 0] + scratch[
+                        slot, 0, 0].astype(jnp.float32)
+                    return g + 1
 
-                ybase = ((cylo + t // nx) * PH).astype(jnp.float32)
-                xbase = ((cxlo + t % nx) * PW).astype(jnp.float32)
+                ybase = ((cylo + t // nx) * ph).astype(jnp.float32)
+                xbase = ((cxlo + t % nx) * pw).astype(jnp.float32)
                 ycell = ybase + ydiv  # (1, CS)
                 xcell = xbase + xmod
                 tiles = []
                 for mh in range(n_heads):
-                    seg = None
-                    for pp in range(n_points):
-                        c = col0 + mh * n_points + pp
-                        x = q[:, c:c + 1]               # (TQ, 1)
-                        y = q[:, mp + c:mp + c + 1]
-                        a = q[:, 2 * mp + c:2 * mp + c + 1]
-                        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - xcell))
-                        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - ycell))
-                        term = (a * wy) * wx            # (TQ, CS)
-                        seg = term if seg is None else seg + term
+                    if debug == "nohat":  # dots only (bisection)
+                        seg = xcell + jnp.zeros((tq, 1), jnp.float32)
+                    else:
+                        seg = None
+                        for pp in range(n_points):
+                            c = col0 + mh * n_points + pp
+                            x = q[:, c:c + 1]               # (TQ, 1)
+                            y = q[:, mp + c:mp + c + 1]
+                            a = q[:, 2 * mp + c:2 * mp + c + 1]
+                            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - xcell))
+                            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - ycell))
+                            term = (a * wy) * wx            # (TQ, CS)
+                            seg = term if seg is None else seg + term
+                    if debug == "nodot":  # hat build only (bisection)
+                        o_ref[0, 0, 0] = o_ref[0, 0, 0] + seg[0, 0]
+                        continue
                     v = scratch[slot, :, mh * d_head:(mh + 1) * d_head]
                     tiles.append(jnp.dot(seg.astype(v_dtype), v,
                                          preferred_element_type=jnp.float32))
-                o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
+                if debug != "nodot":
+                    o_ref[0] = o_ref[0] + jnp.concatenate(tiles, axis=1)
                 return g + 1
 
             g = jax.lax.fori_loop(0, total_l, body, g)
 
     pl.run_scoped(
         scoped,
-        scratch=pltpu.VMEM((2, CS, mdp), v_dtype),
+        scratch=pltpu.VMEM((2, cs, mdp), v_dtype),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 @functools.partial(jax.jit,
-                   static_argnums=(1,), static_argnames=("tq", "interpret"))
+                   static_argnums=(1,),
+                   static_argnames=("tq", "ph", "pw", "interpret", "debug"))
 def _msda_patch_fwd(value, spatial_shapes, sampling_locations,
-                    attention_weights, tq=None, interpret=False):
+                    attention_weights, tq=None, ph=None, pw=None,
+                    interpret=False, debug=None):
     """Full-op forward: value (N, S, M, D) raster all levels; locations
     (N, Lq, M, L, P, 2) in [0,1]; weights (N, Lq, M, L, P); Lq must equal
     S (encoder self-pattern — the static permutation assumes queries are
@@ -216,6 +234,10 @@ def _msda_patch_fwd(value, spatial_shapes, sampling_locations,
     """
     if tq is None:
         tq = V5_TQ
+    if ph is None:
+        ph = V5_PH
+    if pw is None:
+        pw = V5_PW
     n, s, m, d = value.shape
     _, lq, _, l, p, _ = sampling_locations.shape
     assert lq == s, (lq, s)
@@ -236,13 +258,13 @@ def _msda_patch_fwd(value, spatial_shapes, sampling_locations,
     base = 0
     offset = 0
     for h, w in spatial_shapes:
-        hp = -(-h // PH) * PH
-        wp2 = -(-w // PW) * PW
+        hp = -(-h // ph) * ph
+        wp2 = -(-w // pw) * pw
         v = value[:, offset:offset + h * w].reshape(n, h, w, md)
         v = _pad_to(_pad_to(_pad_to(v, 1, hp), 2, wp2), 3, mdp)
-        ny, nx = hp // PH, wp2 // PW
-        v = v.reshape(n, ny, PH, nx, PW, mdp).transpose(0, 1, 3, 2, 4, 5)
-        chunk_arrs.append(v.reshape(n, ny * nx * CS, mdp))
+        ny, nx = hp // ph, wp2 // pw
+        v = v.reshape(n, ny, ph, nx, pw, mdp).transpose(0, 1, 3, 2, 4, 5)
+        chunk_arrs.append(v.reshape(n, ny * nx * ph * pw, mdp))
         level_meta.append((base, nx))
         base += ny * nx
         offset += h * w
@@ -265,11 +287,10 @@ def _msda_patch_fwd(value, spatial_shapes, sampling_locations,
             .reshape(n, n_q, tq * m * p)
         y_t = _pad_to(y.reshape(n, lq, m * p), 1, tq) \
             .reshape(n, n_q, tq * m * p)
-        ny, nx = -(-h // PH), -(-w // PW)
-        cxlo = jnp.clip(jnp.floor(jnp.min(x_t, axis=2)), 0, w - 1) // PW
-        cxhi = jnp.clip(jnp.floor(jnp.max(x_t, axis=2)) + 1, 0, w - 1) // PW
-        cylo = jnp.clip(jnp.floor(jnp.min(y_t, axis=2)), 0, h - 1) // PH
-        cyhi = jnp.clip(jnp.floor(jnp.max(y_t, axis=2)) + 1, 0, h - 1) // PH
+        cxlo = jnp.clip(jnp.floor(jnp.min(x_t, axis=2)), 0, w - 1) // pw
+        cxhi = jnp.clip(jnp.floor(jnp.max(x_t, axis=2)) + 1, 0, w - 1) // pw
+        cylo = jnp.clip(jnp.floor(jnp.min(y_t, axis=2)), 0, h - 1) // ph
+        cyhi = jnp.clip(jnp.floor(jnp.max(y_t, axis=2)) + 1, 0, h - 1) // ph
         for sec, arr in zip(rng_secs, (cylo, cyhi, cxlo, cxhi)):
             sec.append(arr)
     qinfo = _pad_to(jnp.concatenate(qcols, axis=-1), 1, tq)
@@ -292,7 +313,7 @@ def _msda_patch_fwd(value, spatial_shapes, sampling_locations,
     out = pl.pallas_call(
         functools.partial(_kernel_v5, level_meta=tuple(level_meta), tq=tq,
                           n_points=p, n_heads=m, d_head=d, mdp=mdp,
-                          v_dtype=value.dtype),
+                          v_dtype=value.dtype, ph=ph, pw=pw, debug=debug),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, lqp, md), jnp.float32),
         cost_estimate=pl.CostEstimate(
