@@ -12,8 +12,9 @@ import pytest
 
 from trackformer_tpu.ops import msda
 from trackformer_tpu.ops.msda import ms_deform_attn, ms_deform_attn_reference
-from trackformer_tpu.ops.msda_patch import (_msda_patch_fwd, msda_patch,
-                                            snake_bucket_perm)
+from trackformer_tpu.ops.msda_patch import (_msda_patch_fwd,
+                                            _msda_patch_v6_fwd, msda_patch,
+                                            msda_patch_v6, snake_bucket_perm)
 
 SHAPES = ((9, 13), (5, 7), (3, 4))
 S = sum(h * w for h, w in SHAPES)
@@ -110,6 +111,47 @@ def test_snake_perm_is_permutation_and_local():
         off += h * w
     ys = pos[perm, 0]
     assert np.all(np.abs(np.diff(ys)) <= 2 * 8 + 1), "y jumps exceed buckets"
+
+
+@pytest.mark.parametrize("case", ["uniform", "oob", "clustered"])
+def test_v6_forward_matches_reference(case):
+    value, loc, attn = make_inputs(oob=case == "oob",
+                                   clustered=case == "clustered")
+    got = _msda_patch_v6_fwd(value, SHAPES, loc, attn, tq=64, ph=4, pw=8,
+                             interpret=True)
+    want = ms_deform_attn_reference(value, SHAPES, loc, attn)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(N, LQ, M * D), np.asarray(want),
+        atol=2e-5, rtol=1e-5)
+
+
+def test_v6_non_divisible_tile_and_deep_ring():
+    # Lq = 152 not a multiple of tq=48; NSLOTS=3 exercises the deep DMA ring
+    value, loc, attn = make_inputs(seed=5, oob=True)
+    got = _msda_patch_v6_fwd(value, SHAPES, loc, attn, tq=48, ph=4, pw=8,
+                             nslots=3, interpret=True)
+    want = ms_deform_attn_reference(value, SHAPES, loc, attn)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(N, LQ, M * D), np.asarray(want),
+        atol=2e-5, rtol=1e-5)
+
+
+def test_v6_gradients_match_reference():
+    value, loc, attn = make_inputs(seed=3, clustered=True)
+
+    def f_kernel(v, lo, a):
+        return jnp.sum(jnp.sin(msda_patch_v6(v, SHAPES, lo, a, True)))
+
+    def f_ref(v, lo, a):
+        return jnp.sum(jnp.sin(
+            ms_deform_attn_reference(v, SHAPES, lo, a)
+            .reshape(N, LQ, M, D)))
+
+    gk = jax.grad(f_kernel, argnums=(0, 1, 2))(value, loc, attn)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(value, loc, attn)
+    for k, r in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   atol=2e-4, rtol=1e-4)
 
 
 def test_routed_through_ms_deform_attn():

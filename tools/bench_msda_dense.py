@@ -49,6 +49,24 @@ def op_for_mode(mode):
         return lambda v, l, a: ms_deform_attn(
             v, SHAPES, l, a, pallas_dense=(mode == "pallas_v1"))
 
+    if mode.startswith("v6"):
+        # flat-walk row-strip kernel; "v6-256-16x64[-nslots|-debug]"
+        from trackformer_tpu.ops.msda_patch import _msda_patch_v6_fwd
+        parts = mode.split("-")
+        tq = int(parts[1]) if len(parts) > 1 else None
+        ph = pw = None
+        if len(parts) > 2:
+            ph, pw = (int(t) for t in parts[2].split("x"))
+        nslots, debug = None, None
+        for extra in parts[3:]:
+            if extra.isdigit():
+                nslots = int(extra)
+            else:
+                debug = extra
+        return lambda v, l, a: _msda_patch_v6_fwd(
+            v, SHAPES, l, a, tq=tq, ph=ph, pw=pw, nslots=nslots,
+            debug=debug).reshape(N, S, M * D)
+
     if mode.startswith("v5"):
         # fused all-levels patch-walk kernel; "v5", "v5-512" (tq),
         # "v5-256-8x32" (tq + chunk geometry PHxPW)
