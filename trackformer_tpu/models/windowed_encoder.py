@@ -60,6 +60,17 @@ GATHER_LAYOUT = os.environ.get("WINDOW_GATHER_LAYOUT", "0") == "1"
 # equivalence). Module-level so bench.py can A/B both on the live chip.
 FUSION_IMPL = os.environ.get("WINDOW_FUSION_IMPL", "perlevel")
 
+# Attention-layer strategy. "module" (default): MultiHeadAttention +
+# nn.LayerNorm/nn.Dense chain (one fused attention call over all levels'
+# windows, ~20 XLA ops per layer — each latency-bound at this scale).
+# "fused": the ENTIRE layer body (qkv, windowed attention, out proj,
+# residual+LN, FFN, residual+LN) as ONE Pallas kernel over tiles of GW
+# windows (ops/window_attn.py) — identical parameter tree (fused_params)
+# and numerics (tests/test_window_attn.py). Deterministic/dropout-0 path
+# only; training with dropout keeps the module path. Module-level so
+# bench.py can A/B both on the live chip and route the winner.
+ATTN_IMPL = os.environ.get("WINDOW_ATTN_IMPL", "module")
+
 
 def _pad_hw(x: jnp.ndarray, win: int) -> Tuple[jnp.ndarray, int, int]:
     b, h, w, c = x.shape
@@ -174,6 +185,24 @@ def gather_window_context(poses: List[jnp.ndarray], masks: List[jnp.ndarray],
     return pw, kp & ~all_pad, tok_j, jnp.asarray(inv)
 
 
+class _AttnParams(nn.Module):
+    """Parameter tree of MultiHeadAttention (q/k/v/out projections) without
+    the compute — lets the fused Pallas layer (ops/window_attn.py) share
+    checkpoints with the module path (same scope/leaf names + init RNG
+    folding; see fused_params.py)."""
+    d_model: int
+
+    @nn.compact
+    def __call__(self):
+        out = {}
+        for nm in ("q", "k", "v", "out"):
+            kern, bias = DenseParams(self.d_model, self.d_model,
+                                     name=f"{nm}_proj")()
+            out[f"{nm}_kernel"] = kern
+            out[f"{nm}_bias"] = bias
+        return out
+
+
 class WindowedEncoderLayer(nn.Module):
     """One shared-weight layer over ALL levels: single fused attention call
     on the concatenation of every level's windows, FFN on flat tokens."""
@@ -219,26 +248,46 @@ class WindowedEncoderLayer(nn.Module):
 
             xw = jnp.concatenate(xw_all, axis=0)   # (sum_nwin, win^2, C)
 
-        q = xw + pw
-        attn = MultiHeadAttention(self.d_model, self.nheads, self.dropout,
-                                  self.dtype, name="self_attn")(
-            q, q, xw, kp, deterministic)
+        if ATTN_IMPL == "fused" and (deterministic or self.dropout == 0.0):
+            from ..ops.msda import _on_tpu
+            from ..ops.window_attn import fused_window_layer
 
-        # residual + norm + FFN directly in the WINDOWED layout: every op
-        # here is per-token, so values for real tokens are identical to the
-        # flat formulation, and staying windowed drops the two
-        # spatial<->flat concat/reshape chains per layer (measured
-        # latency-bound, PLAN.md lever 2); padded window slots compute
-        # garbage that the merge slice below discards
-        drop = nn.Dropout(self.dropout)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(
-            xw + drop(attn, deterministic=deterministic))
-        ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(
-            drop(nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                                  name="linear1")(x)),
-                 deterministic=deterministic))
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(
-            x + drop(ffn, deterministic=deterministic))
+            ap = _AttnParams(self.d_model, name="self_attn")()
+            g1, b1n = LayerNormParams(self.d_model, name="norm1")()
+            k1, bb1 = DenseParams(self.dim_feedforward, self.d_model,
+                                  name="linear1")()
+            k2, bb2 = DenseParams(self.d_model, self.dim_feedforward,
+                                  name="linear2")()
+            g2, b2n = LayerNormParams(self.d_model, name="norm2")()
+            weights = dict(ap, norm1_scale=g1, norm1_bias=b1n,
+                           linear1_kernel=k1, linear1_bias=bb1,
+                           linear2_kernel=k2, linear2_bias=bb2,
+                           norm2_scale=g2, norm2_bias=b2n)
+            x = fused_window_layer(xw, pw, kp, weights, self.nheads,
+                                   interpret=not _on_tpu())
+        else:
+            q = xw + pw
+            attn = MultiHeadAttention(self.d_model, self.nheads,
+                                      self.dropout, self.dtype,
+                                      name="self_attn")(
+                q, q, xw, kp, deterministic)
+
+            # residual + norm + FFN directly in the WINDOWED layout: every
+            # op here is per-token, so values for real tokens are identical
+            # to the flat formulation, and staying windowed drops the two
+            # spatial<->flat concat/reshape chains per layer (measured
+            # latency-bound, PLAN.md lever 2); padded window slots compute
+            # garbage that the merge slice below discards
+            drop = nn.Dropout(self.dropout)
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+                xw + drop(attn, deterministic=deterministic))
+            ffn = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(
+                drop(nn.relu(nn.Dense(self.dim_feedforward,
+                                      dtype=self.dtype,
+                                      name="linear1")(x)),
+                     deterministic=deterministic))
+            x = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+                x + drop(ffn, deterministic=deterministic))
 
         out_levels = []
         off = 0
