@@ -37,6 +37,11 @@ SCALE = sys.argv[2] if len(sys.argv) > 2 else "small"
 # STEPS, so the jitted program and any mid-train checkpoints keyed on STEPS
 # remain reusable by a later full-length run).
 MAX_STEPS = int(os.environ.get("AGREE_MAX_STEPS", str(10 ** 9)))
+# Training-seed replicate (VERDICT r3 weak #5 — agreement numbers were
+# single-seed; rerun with AGREE_SEED=1,2,... and compare AGREEMENT.json's
+# per-seed files to get min/max spread). Scene generation stays seed-0 so
+# every replicate trains/evals on identical data.
+SEED = int(os.environ.get("AGREE_SEED", "0"))
 if SCALE == "flagship":
     # flagship-geometry regime: real input resolution class, full
     # depth/width (288 dim, 6+6 layers, 8 heads) so the window-size vs
@@ -105,7 +110,23 @@ def to_targets(boxes_list, max_obj=None):
                      boxes=jnp.asarray(out))
 
 
-def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
+def _mode_over(mode: str) -> dict:
+    """Config overrides for a mode name. 'exact' = reference-parity MSDA
+    encoder; 'fast' = windowed encoder; ablation arms append suffix tokens,
+    e.g. 'fast_w16' = windowed with tpu.encoder_window=16 (VERDICT r3 #2 —
+    isolate the fast mode's underfit: window size vs object scale)."""
+    if mode == "exact":
+        return {"tpu.encoder_attention": "msda"}
+    over = {"tpu.encoder_attention": "windowed"}
+    for tok in mode.split("_")[1:]:
+        if tok.startswith("w") and tok[1:].isdigit():
+            over["tpu.encoder_window"] = int(tok[1:])
+        else:
+            raise ValueError(f"unknown ablation token {tok!r} in {mode!r}")
+    return over
+
+
+def train_and_eval(mode: str, train_scenes, eval_scenes, seed=SEED):
     import jax
     import jax.numpy as jnp
     from trackformer_tpu.engine import (TrainState, make_optimizer,
@@ -117,8 +138,8 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
     over = {
         **MODEL_OVER, "dataset": "mot",
         "aux_loss": True, "lr": 4e-4, "lr_backbone": 4e-4, "dropout": 0.0,
-        "tpu.encoder_attention": ("windowed" if mode == "fast" else "msda"),
         "tpu.decoder_attention": "msda",
+        **_mode_over(mode),
     }
     cfg = load_config("train.yaml", ["deformable"], over)
     cfg["tpu"]["compute_dtype"] = ("bfloat16" if SCALE == "flagship"
@@ -145,7 +166,8 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=0):
     # run replays the data-order RNG for the skipped steps so the sequence
     # of batches is identical to an uninterrupted run.
     SAVE_EVERY = 100
-    tck = Path("/tmp") / f"agreement_{SCALE}_{STEPS}_{mode}_train.npz"
+    tck = Path("/tmp") / (f"agreement_{SCALE}_{STEPS}_{mode}"
+                          + (f"_s{SEED}" if SEED else "") + "_train.npz")
     leaves, treedef = jax.tree_util.tree_flatten(state)
     start, losses = 0, []
     if tck.exists():
@@ -272,7 +294,8 @@ def preds_to_anns(preds, score_thresh=0.5):
 
 
 def _ckpt_path(mode):
-    return Path("/tmp") / f"agreement_{SCALE}_{STEPS}_{mode}.npz"
+    return Path("/tmp") / (f"agreement_{SCALE}_{STEPS}_{mode}"
+                       + (f"_s{SEED}" if SEED else "") + ".npz")
 
 
 def _run_mode_cached(mode, train_scenes, eval_scenes):
@@ -324,6 +347,19 @@ def main():
     fast_ap, fast_ap50 = eval_map(fast_preds, gt)
     cross_ap, cross_ap50 = eval_map(fast_preds, preds_to_anns(exact_preds))
     steps_trained = min(STEPS, MAX_STEPS)
+
+    # optional ablation arms (AGREE_ABLATIONS=fast_w16,...): each trains
+    # cached under the same budget and is reported alongside — the probe
+    # for attributing the fast arm's loss/AP deficit (VERDICT r3 weak #1)
+    ablations = {}
+    for mode in filter(None, os.environ.get(
+            "AGREE_ABLATIONS", "").split(",")):
+        ab_preds, ab_losses = _run_mode_cached(mode, train_scenes,
+                                               eval_scenes)
+        ab_ap, ab_ap50 = eval_map(ab_preds, gt)
+        ablations[mode] = {
+            "map": round(ab_ap, 4), "ap50": round(ab_ap50, 4),
+            "final_loss": round(float(np.mean(ab_losses[-10:])), 4)}
     result = {
         "task": (f"synthetic {W}x{H} rectangle detection, {N_TRAIN} train /"
                  f" {N_EVAL} held-out scenes, {steps_trained} steps each"
@@ -340,7 +376,10 @@ def main():
         "exact_final_loss": round(float(np.mean(exact_losses[-10:])), 4),
         "fast_final_loss": round(float(np.mean(fast_losses[-10:])), 4),
     }
-    out = Path(__file__).resolve().parent.parent / "AGREEMENT.json"
+    if ablations:
+        result["ablations"] = ablations
+    out = Path(__file__).resolve().parent.parent / (
+        f"AGREEMENT_s{SEED}.json" if SEED else "AGREEMENT.json")
     out.write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))
 

@@ -256,6 +256,9 @@ class DeformableDETR(nn.Module):
     # 'msda' = exact deformable attention (reference parity);
     # 'windowed' = TPU-fast shifted-window encoder (see windowed_encoder.py)
     encoder_attention: str = "msda"
+    # window side (tokens) for the windowed encoder; ablatable via
+    # `tpu.encoder_window` (fast-vs-exact agreement studies)
+    encoder_window: int = 8
     # decoder cross-attention: 'msda' (parity) | 'dense' (full attention —
     # cheaper than gathers on the MXU at DETR query counts)
     decoder_attention: str = "msda"
@@ -315,7 +318,8 @@ class DeformableDETR(nn.Module):
             from .windowed_encoder import WindowedEncoder
             self.encoder = WindowedEncoder(
                 self.hidden_dim, self.enc_layers, self.nheads,
-                self.dim_feedforward, self.dropout, dtype=self.dtype)
+                self.dim_feedforward, self.dropout,
+                window=self.encoder_window, dtype=self.dtype)
         else:
             self.encoder = DeformableEncoder(
                 self.hidden_dim, enc_levels, self.enc_layers, self.nheads,

@@ -87,6 +87,8 @@ def build_model(args) -> Tuple[Any, CriterionConfig, Dict, TrackingConfig]:
             remat=remat,
             encoder_attention=(getattr(tpu_cfg, "encoder_attention", "msda")
                                if tpu_cfg else "msda"),
+            encoder_window=int(getattr(tpu_cfg, "encoder_window", 8)
+                               if tpu_cfg else 8),
             decoder_attention=(getattr(tpu_cfg, "decoder_attention", "msda")
                                if tpu_cfg else "msda"),
             scan_layers=bool(getattr(tpu_cfg, "scan_layers", False)
