@@ -193,13 +193,18 @@ def main():
     def budget_left():
         return budget - (time.perf_counter() - bench_t0)
 
+    from trackformer_tpu.models import attention as att
     from trackformer_tpu.models import windowed_encoder as we
+
+    # env-forced knobs apply before the baseline; the matching A/B is then
+    # skipped (useful for reproducing a single configuration)
     forced_layout = os.environ.get("BENCH_WINDOW_LAYOUT")
-    first_layout = forced_layout or "transpose"
-    we.GATHER_LAYOUT = first_layout == "gather"
-    layout_ms = {}
-    layout_ms[first_layout] = run_mode("windowed", "msda", 1, 10,
-                                       cached=True)
+    we.GATHER_LAYOUT = forced_layout == "gather"
+    forced_attn = os.environ.get("BENCH_WINDOW_ATTN")
+    we.ATTN_IMPL = forced_attn or "module"
+    forced_smallops = os.environ.get("BENCH_SMALLOPS_FUSED")
+    if forced_smallops == "1":
+        we.FUSION_IMPL, att.QK_FUSED = "batched", True
 
     # headline: batched multi-sequence offline tracking, tpu-fast mode
     # (windowed encoder + exact-MSDA decoder + cached prev-frame memory).
@@ -216,6 +221,56 @@ def main():
             return None
 
     dt_batched = run_batched(BATCH)
+
+    # Variant A/Bs run AT THE HEADLINE BATCH and stack greedily (VERDICT
+    # r3 #3: a variant that loses at B=1 — where per-op dispatch latency
+    # dominates — can win at B=8, so B=1 rejections don't transfer).
+    # Each toggles one exact-numerics knob; the winner config is kept for
+    # every later measurement. All three knobs have equivalence tests:
+    # tests/test_models.py (gather layout, smallops fusion),
+    # tests/test_window_attn.py (fused attention kernel).
+    variant_ms = {"baseline": dt_batched}
+
+    def try_variant(name, set_knob, unset_knob):
+        nonlocal dt_batched
+        if dt_batched is None or budget_left() < 600:
+            return
+        set_knob()
+        try:
+            t = run_mode("windowed", "msda", BATCH, 10, cached=True)
+        except Exception as e:
+            print(f"# variant {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            unset_knob()
+            return
+        variant_ms[name] = t
+        if t < dt_batched:
+            dt_batched = t
+        else:
+            unset_knob()
+
+    if not forced_layout:
+        try_variant(
+            "gather_layout",
+            lambda: setattr(we, "GATHER_LAYOUT", True),
+            lambda: setattr(we, "GATHER_LAYOUT", False))
+    if forced_attn is None:
+        try_variant(
+            "fused_window_attn",
+            lambda: setattr(we, "ATTN_IMPL", "fused"),
+            lambda: setattr(we, "ATTN_IMPL", "module"))
+    if forced_smallops is None:
+        def _set_smallops():
+            we.FUSION_IMPL, att.QK_FUSED = "batched", True
+
+        def _unset_smallops():
+            we.FUSION_IMPL, att.QK_FUSED = "perlevel", False
+
+        try_variant("smallops_fused", _set_smallops, _unset_smallops)
+
+    # per-stream latency mode with the routed config
+    dt_fast = run_mode("windowed", "msda", 1, 10, cached=True)
+
     # reference-parity mode: exact MSDA everywhere (skippable: it adds a
     # large first-run compile through the remote-compile hop). Measured at
     # B=1 (per-stream latency) AND batched (VERDICT r3 missing #5 — the
@@ -236,76 +291,6 @@ def main():
             except Exception as e:
                 print(f"# parity batched B={parity_batch} failed: "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
-
-    # optional: windowed-layout A/B (transpose-chain vs token-permutation
-    # gathers, models/windowed_encoder.py GATHER_LAYOUT — identical
-    # numerics per tests/test_models.py::test_window_gather_layout_
-    # equivalence); if the other layout wins at B=1, re-measure the
-    # batched headline with it.
-    if not forced_layout and budget_left() > 600:
-        we.GATHER_LAYOUT = True
-        try:
-            layout_ms["gather"] = run_mode("windowed", "msda", 1, 10,
-                                           cached=True)
-        except Exception as e:
-            print(f"# window layout gather failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-    best_layout = min(layout_ms, key=layout_ms.get)
-    we.GATHER_LAYOUT = best_layout == "gather"
-    dt_fast = layout_ms[best_layout]
-    if best_layout != first_layout and budget_left() > 600:
-        dt_b2 = run_batched(BATCH)
-        if dt_b2 is not None and (dt_batched is None or dt_b2 < dt_batched):
-            dt_batched = dt_b2
-
-    # optional: fused window-attention Pallas layer A/B (whole encoder
-    # layer body in one kernel, ops/window_attn.py — identical params and
-    # numerics per tests/test_window_attn.py); route if faster.
-    fused_attn = os.environ.get("BENCH_WINDOW_ATTN")
-    fused_attn_ms = None
-    if fused_attn is None and budget_left() > 600:
-        we.ATTN_IMPL = "fused"
-        try:
-            fused_attn_ms = run_mode("windowed", "msda", 1, 10, cached=True)
-        except Exception as e:
-            print(f"# fused window attn failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-        if fused_attn_ms is not None and fused_attn_ms < dt_fast:
-            dt_fast = fused_attn_ms
-            if budget_left() > 600:
-                dt_bf = run_batched(used_batch)
-                if dt_bf is not None and (dt_batched is None
-                                          or dt_bf < dt_batched):
-                    dt_batched = dt_bf
-        else:
-            we.ATTN_IMPL = "module"
-    elif fused_attn == "fused":
-        we.ATTN_IMPL = "fused"
-
-    # optional: small-op fusion A/B (batched cross-level fusion + fused q/k
-    # projection — identical params and numerics per tests/test_models.py::
-    # test_fused_smallops_equivalence); route if faster.
-    from trackformer_tpu.models import attention as att
-    smallops = os.environ.get("BENCH_SMALLOPS_FUSED")
-    smallops_ms = None
-    if smallops is None and budget_left() > 600:
-        we.FUSION_IMPL, att.QK_FUSED = "batched", True
-        try:
-            smallops_ms = run_mode("windowed", "msda", 1, 10, cached=True)
-        except Exception as e:
-            print(f"# smallops fused failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-        if smallops_ms is not None and smallops_ms < dt_fast:
-            dt_fast = smallops_ms
-            if budget_left() > 600:
-                dt_b3 = run_batched(BATCH)
-                if dt_b3 is not None and (dt_batched is None
-                                          or dt_b3 < dt_batched):
-                    dt_batched = dt_b3
-        else:
-            we.FUSION_IMPL, att.QK_FUSED = "perlevel", False
-    elif smallops == "1":
-        we.FUSION_IMPL, att.QK_FUSED = "batched", True
 
     # optional: more sequences in lockstep amortize further if HBM allows
     if BATCH == 8 and dt_batched is not None and budget_left() > 600:
@@ -356,15 +341,13 @@ def main():
             for (enc, dec, b, cached), sp in run_mode.spread.items()},
         "msda_skip_impl": msda_impl,
         "msda_impl_bench_ms": msda_impl_ms,
-        "window_layout": best_layout,
-        "window_layout_bench_ms": {k: round(v * 1e3, 2)
-                                   for k, v in layout_ms.items()},
-        "smallops_fused": bool(att.QK_FUSED),
-        "smallops_fused_bench_ms": (round(smallops_ms * 1e3, 2)
-                                    if smallops_ms else None),
+        # per-variant batched step ms (A/B at the headline batch; winners
+        # stacked greedily into the routed config below)
+        "variant_bench_ms": {k: (round(v * 1e3, 2) if v else None)
+                             for k, v in variant_ms.items()},
+        "window_layout": "gather" if we.GATHER_LAYOUT else "transpose",
         "window_attn_impl": we.ATTN_IMPL,
-        "window_attn_fused_bench_ms": (round(fused_attn_ms * 1e3, 2)
-                                       if fused_attn_ms else None),
+        "smallops_fused": bool(att.QK_FUSED),
         "fast_vs_exact_agreement": agreement,
     }
     print(json.dumps(out))
