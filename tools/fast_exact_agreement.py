@@ -231,18 +231,30 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=SEED):
     print(f"{mode}: loss {np.mean(losses[:10]):.3f} -> "
           f"{np.mean(losses[-10:]):.3f}", flush=True)
 
-    # held-out predictions
+    # held-out predictions — evaluated in BATCH-sized chunks: jitting one
+    # B=N_EVAL forward is a 6x-bigger program than anything trained above,
+    # and at flagship scale that one-off compile blew up the remote-compile
+    # helper (HTTP 500) AFTER 2000 steps of training had succeeded.  Chunked
+    # eval keeps the program the same size class as the train-step forward.
     fwd = jax.jit(lambda p, b: post["bbox"](
         model.apply(p, b, None, deterministic=True)[0],
-        jnp.array([[H, W]] * len(eval_scenes))))
-    imgs = jnp.asarray(np.stack([s[0] for s in eval_scenes]))
-    res = fwd(state.params,
-              FrameBatch.from_images(imgs, jnp.array([[H, W]] * len(
-                  eval_scenes))))
-    return ({i: {"boxes": np.asarray(res["boxes"][i]),
-                 "scores": np.asarray(res["scores"][i]),
-                 "labels": np.asarray(res["labels"][i])}
-             for i in range(len(eval_scenes))}, losses)
+        jnp.array([[H, W]] * BATCH)))
+    imgs = np.stack([s[0] for s in eval_scenes])
+    n = len(eval_scenes)
+    out = {}
+    for lo in range(0, n, BATCH):
+        chunk = imgs[lo:lo + BATCH]
+        pad = BATCH - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+        res = fwd(state.params,
+                  FrameBatch.from_images(jnp.asarray(chunk),
+                                         jnp.array([[H, W]] * BATCH)))
+        for j in range(min(BATCH, n - lo)):
+            out[lo + j] = {"boxes": np.asarray(res["boxes"][j]),
+                           "scores": np.asarray(res["scores"][j]),
+                           "labels": np.asarray(res["labels"][j])}
+    return out, losses
 
 
 def eval_map(preds, gt_by_img):

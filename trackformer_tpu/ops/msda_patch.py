@@ -57,14 +57,18 @@ from .msda_dense import _level_out_gather, _pad_to
 # chunk geometry default: PH x PW cells flatten to a whole number of
 # 128-wide lane groups.  Bigger chunks amortize the per-chunk walk
 # overhead (grid/DMA/loop bookkeeping, measured ~5-6 us) over more cells
-# at the price of more alignment slop; bench.py sweeps and routes.
-V5_PH = 8
+# at the price of more alignment slop.  Defaults are the round-4 on-chip
+# sweep winner (tools/bench_msda_dense.py --tiles, flagship encoder scale,
+# sigma=0.02): tq=128 / 16x32 chunks = 16.14 ms/layer-equivalent vs 17.48
+# for the previous 256 / 8x32 default (full table in PLAN.md).
+V5_PH = 16
 V5_PW = 32
 
-# q-tile size; bench-time autotuned (bench.py measures {256, 512} and
-# routes).  Read at trace time — flipping after a same-shape call requires
+# q-tile size; defaulted from the same sweep (smaller q-tiles tighten each
+# tile's walked chunk rectangle more than they add grid steps).  Read at
+# trace time — flipping after a same-shape call requires
 # ms_deform_attn.clear_cache().
-V5_TQ = 256
+V5_TQ = 128
 
 P_UNROLL_MAX = 8
 
