@@ -114,14 +114,18 @@ def _mode_over(mode: str) -> dict:
     """Config overrides for a mode name. 'exact' = reference-parity MSDA
     encoder; 'fast' = windowed encoder; ablation arms append suffix tokens,
     e.g. 'fast_w16' = windowed with tpu.encoder_window=16 (VERDICT r3 #2 —
-    isolate the fast mode's underfit: window size vs object scale)."""
-    if mode == "exact":
-        return {"tpu.encoder_attention": "msda"}
-    over = {"tpu.encoder_attention": "windowed"}
+    isolate the fast mode's underfit: window size vs object scale).
+    Tokens 'f32' (compute dtype) and 'remat0' are consumed by
+    train_and_eval AFTER the scale defaults (they bisect the flagship-only
+    training collapse: mid trained f32/no-remat, flagship bf16/remat)."""
+    if mode.split("_")[0] == "exact":
+        over = {"tpu.encoder_attention": "msda"}
+    else:
+        over = {"tpu.encoder_attention": "windowed"}
     for tok in mode.split("_")[1:]:
         if tok.startswith("w") and tok[1:].isdigit():
             over["tpu.encoder_window"] = int(tok[1:])
-        else:
+        elif tok not in ("f32", "remat0"):
             raise ValueError(f"unknown ablation token {tok!r} in {mode!r}")
     return over
 
@@ -145,6 +149,11 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=SEED):
     cfg["tpu"]["compute_dtype"] = ("bfloat16" if SCALE == "flagship"
                                   else "float32")
     cfg["tpu"]["remat"] = SCALE == "flagship"
+    toks = mode.split("_")[1:]
+    if "f32" in toks:
+        cfg["tpu"]["compute_dtype"] = "float32"
+    if "remat0" in toks:
+        cfg["tpu"]["remat"] = False
     # scan_layers also for 'mid': XLA:CPU compile of the UNROLLED 288-dim
     # model exceeded an hour; the scanned HLO compiles in minutes
     cfg["tpu"]["scan_layers"] = SCALE in ("flagship", "mid")
