@@ -85,3 +85,36 @@ def test_tpu_fast_mode_overfit():
     first, last = np.mean(losses[:5]), np.mean(losses[-5:])
     assert np.isfinite(losses).all()
     assert last < 0.6 * first, (first, last, losses[::10])
+
+
+def test_lr_warmup_scales_early_updates():
+    """tpu.lr_warmup_steps linearly ramps every param group's update size
+    (the windowed-encoder depth-collapse stabilizer; reference has no
+    warmup so 0 stays the default)."""
+    import optax
+    from types import SimpleNamespace as NS
+
+    args = NS(lr=4e-4, lr_backbone=4e-4, lr_linear_proj_mult=0.1,
+              weight_decay=1e-4, clip_max_norm=0.1, lr_drop_steps=[400],
+              tpu=NS(lr_warmup_steps=50))
+    params = {"params": {"transformer": {"w": jnp.ones((4, 4))}}}
+    opt = make_optimizer(args, params)
+    st = opt.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    mags = []
+    for _ in range(50):
+        u, st = opt.update(g, st, params)
+        mags.append(float(jnp.abs(jax.tree.leaves(u)[0]).mean()))
+    # step 0 is 1/50 of full lr; step 49 full lr; monotone ramp
+    assert mags[0] < 0.03 * mags[-1], (mags[0], mags[-1])
+    assert all(b >= a for a, b in zip(mags, mags[1:])), mags[:5]
+
+    # warmup off (default 0): first update already full-size
+    args0 = NS(lr=4e-4, lr_backbone=4e-4, lr_linear_proj_mult=0.1,
+               weight_decay=1e-4, clip_max_norm=0.1, lr_drop_steps=[400],
+               tpu=NS(lr_warmup_steps=0))
+    opt0 = make_optimizer(args0, params)
+    st0 = opt0.init(params)
+    u0, _ = opt0.update(g, st0, params)
+    assert abs(float(jnp.abs(jax.tree.leaves(u0)[0]).mean())
+               - mags[-1]) < 1e-6

@@ -139,10 +139,15 @@ def train_and_eval(mode: str, train_scenes, eval_scenes, seed=SEED):
     from trackformer_tpu.structures import FrameBatch
     from trackformer_tpu.utils.config import load_config, nested_namespace
 
+    # AGREE_LR / AGREE_WARMUP: optimizer bisection knobs for the flagship
+    # fast-arm training collapse (loss plateaus at ~20, encoder output goes
+    # input-independent at 6 windowed layers; 4 layers train fine)
+    lr = float(os.environ.get("AGREE_LR", "4e-4"))
     over = {
         **MODEL_OVER, "dataset": "mot",
-        "aux_loss": True, "lr": 4e-4, "lr_backbone": 4e-4, "dropout": 0.0,
+        "aux_loss": True, "lr": lr, "lr_backbone": lr, "dropout": 0.0,
         "tpu.decoder_attention": "msda",
+        "tpu.lr_warmup_steps": int(os.environ.get("AGREE_WARMUP", "0")),
         **_mode_over(mode),
     }
     cfg = load_config("train.yaml", ["deformable"], over)
@@ -388,6 +393,12 @@ def main():
         "agreement_scale": SCALE,
         "steps_trained": steps_trained,
         "model": dict(MODEL_OVER),
+        # both arms train under the SAME optimizer; warmup exists because
+        # the 6-layer windowed (fast) encoder collapses without it — the
+        # exact arm trains either way (PLAN.md round-4 bisection table)
+        "optimizer": {"lr": float(os.environ.get("AGREE_LR", "4e-4")),
+                      "lr_warmup_steps": int(os.environ.get(
+                          "AGREE_WARMUP", "0"))},
         "exact_map": round(exact_ap, 4),
         "fast_map": round(fast_ap, 4),
         "exact_ap50": round(exact_ap50, 4),

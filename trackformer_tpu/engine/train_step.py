@@ -72,12 +72,27 @@ def make_optimizer(args, params) -> optax.GradientTransformation:
     drop_steps = getattr(args, "lr_drop_steps", None)
     if drop_steps and not isinstance(drop_steps, (list, tuple)):
         drop_steps = [drop_steps]
+    # TPU-only knob (no reference counterpart — torch trains post-norm DETR
+    # at lr 2e-4 without warmup): linear LR warmup over the first N steps.
+    # Deep post-norm stacks (notably the 6-layer windowed encoder) can fall
+    # into the predict-dataset-statistics optimum when the decoder learns to
+    # ignore the still-noisy encoder memory early; warmup keeps the early
+    # updates small enough for signal to survive.
+    warmup = int(getattr(getattr(args, "tpu", None), "lr_warmup_steps", 0)
+                 or 0)
 
     def schedule(base_lr):
         if drop_steps:
-            return optax.piecewise_constant_schedule(
+            base = optax.piecewise_constant_schedule(
                 base_lr, {int(s): 0.1 for s in sorted(drop_steps)})
-        return base_lr
+        else:
+            base = None
+        if warmup:
+            def warmed(step):
+                lr = base(step) if base is not None else base_lr
+                return lr * jnp.minimum(1.0, (step + 1) / warmup)
+            return warmed
+        return base if base is not None else base_lr
 
     def adamw(lr):
         return optax.adamw(schedule(lr), b1=0.9, b2=0.999, eps=1e-8,

@@ -22,6 +22,17 @@ ones.
 Opt-in via `tpu.encoder_attention: windowed` (default remains `msda` for
 semantic parity with the reference). The decoder keeps exact MSDA — its
 query count is tiny, so the gather cost is negligible there.
+
+TRAINING NOTE (round-4 bisection): this stack is post-norm (attention/FFN
+LayerNorms after the residual adds, plus one CrossLevelFusion LayerNorm per
+layer). At 6 layers it trains ONLY with LR warmup (`tpu.lr_warmup_steps`,
+set in cfgs/tpu_fast.yaml): without warmup the first few hundred AdamW
+steps at lr 4e-4 push the decoder into ignoring the still-noisy encoder
+memory, after which the encoder output collapses to an input-independent
+constant (measured: cross-scene prediction std exactly 0, encoder spatial
+deviation 0.02 vs the exact arm's 7-23). Four layers merely underfit;
+bf16/remat/window-size/resolution were all ruled out by ablation probes
+(tools/agree_probe.py, AGREEMENT.json).
 """
 from __future__ import annotations
 
