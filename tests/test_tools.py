@@ -197,3 +197,23 @@ def test_track_param_search_grid(monkeypatch):
     assert len(calls) == n_combos
     assert best["mota"] == pytest.approx(0.5)
     assert all(any("track_nms_thresh=0.9" in a for a in c) for c in calls)
+
+
+def test_agreement_preds_to_anns_filters_background(monkeypatch):
+    """Pseudo-GT for the cross-agreement metric must drop non-person
+    detections: reference-parity focal postprocess keeps the trained
+    background column in its max (deformable_detr.py:316), so ~Q
+    high-score background rows per image are expected model output."""
+    monkeypatch.setattr(sys, "argv", ["fast_exact_agreement.py"])
+    ag = load_tool("fast_exact_agreement")
+    preds = {0: {
+        "boxes": np.array([[0., 0., 10., 10.],
+                           [5., 5., 20., 20.],
+                           [1., 1., 2., 2.]]),
+        "scores": np.array([0.9, 0.95, 0.2]),
+        "labels": np.array([0, 19, 0]),
+    }}
+    anns = ag.preds_to_anns(preds, score_thresh=0.5)
+    assert len(anns[0]) == 1  # label-19 and low-score rows dropped
+    assert anns[0][0]["bbox"] == [0.0, 0.0, 10.0, 10.0]
+    assert anns[0][0]["category_id"] == 0

@@ -303,11 +303,21 @@ def boxes_to_anns(scenes):
 
 
 def preds_to_anns(preds, score_thresh=0.5):
+    """Detections -> pseudo-GT for the cross-agreement metric.
+
+    Keep only label-0 (person-class) detections: reference-parity focal
+    postprocess takes max over ALL logit columns INCLUDING the trained
+    background column (deformable_detr.py:316), so a well-trained model
+    emits ~Q background 'detections' at p~1 with label == background —
+    every consumer (tracker, evaluator) filters by label, and this
+    pseudo-GT builder must too (round 4: unfiltered background boxes made
+    cross_agreement_ap50 collapse to 0.08 while both arms scored 0.57+
+    against the real GT)."""
     out = {}
     aid = 0
     for i, p in preds.items():
         anns = []
-        keep = p["scores"] >= score_thresh
+        keep = (p["scores"] >= score_thresh) & (p["labels"] == 0)
         for b in p["boxes"][keep]:
             x0, y0, x1, y1 = [float(v) for v in b]
             anns.append({"id": aid, "image_id": i, "category_id": 0,
