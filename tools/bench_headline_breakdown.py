@@ -96,13 +96,50 @@ def timeit(label, fn, x):
 # 1. backbone alone — chained on the image tensor: fold a tiny scalar of
 # the output back into the input so XLA cannot dead-code the chain
 def backbone_only(x):
-    feats = model.apply(params, batch.replace(images=x),
-                        method=lambda m, b: m.backbone(b))
-    leaves = jax.tree.leaves(feats)
-    return x + jnp.mean(leaves[-1]).astype(x.dtype) * 1e-9
+    features, _masks = model.apply(params, batch.replace(images=x),
+                                   method=lambda m, b: m.backbone(b))
+    # fold EVERY feature level into the chain: the masks are size-only
+    # (constant wrt images) and folding a single level lets XLA dead-code
+    # the other levels' convs — both were measured as a bogus 1.26 ms/step
+    s = sum(jnp.mean(f).astype(x.dtype) for f in jax.tree.leaves(features))
+    return x + s * 1e-9
 
 
 t_bb = timeit("backbone", backbone_only, imgs)
+
+
+# 1b. + input proj / pos embeds (cached-mode style: current frame only)
+def proj_only(x):
+    def fn(m, bt):
+        features, feat_masks = m.backbone(bt)
+        cur3, cur3_masks = features[-3:], feat_masks[-3:]
+        return m._project_frame(cur3, cur3_masks, cur3, bt.mask, 0)
+    srcs, masks, poses = model.apply(params, batch.replace(images=x),
+                                     method=fn)
+    s = sum(jnp.mean(t).astype(x.dtype) for t in srcs)
+    s = s + sum(jnp.mean(t).astype(x.dtype) for t in poses)
+    return x + s * 1e-9
+
+
+t_proj = timeit("+ input proj/pos (1 frame)", proj_only, imgs)
+
+
+# 1c. + windowed encoder (cached-mode: ONE frame pass)
+def enc_only(x):
+    def fn(m, bt):
+        features, feat_masks = m.backbone(bt)
+        cur3, cur3_masks = features[-3:], feat_masks[-3:]
+        srcs, masks, poses = m._project_frame(cur3, cur3_masks, cur3,
+                                              bt.mask, 0)
+        poses_wl = [
+            (p + m.level_embed[i][None, None, None].astype(m.dtype))
+            for i, p in enumerate(poses)]
+        return m.encoder(srcs, masks, poses_wl, True)
+    mem = model.apply(params, batch.replace(images=x), method=fn)
+    return x + jnp.mean(mem).astype(x.dtype) * 1e-9
+
+
+t_enc = timeit("+ windowed encoder (1 frame)", enc_only, imgs)
 
 
 # 2. full model forward (with track-query slots, as the tracker step runs)
@@ -115,7 +152,8 @@ def model_fwd(x):
     bt = batch.replace(images=x)
     out, _, feats, _, _ = model.apply(params, bt, targets, None,
                                       deterministic=True)
-    return x + jnp.mean(out["pred_logits"]).astype(x.dtype) * 1e-9
+    s = (jnp.mean(out["pred_logits"]) + jnp.mean(out["pred_boxes"]))
+    return x + s.astype(x.dtype) * 1e-9
 
 
 t_fwd = timeit("model forward (uncached prev)", model_fwd, imgs)
@@ -136,6 +174,37 @@ t_post = timeit("model forward + postprocess", fwd_post, imgs)
 step = make_tracker_step(
     lambda p, bt, t, pf: model.apply(p, bt, t, pf, deterministic=True),
     post["bbox"], tcfg, batched=True)
+
+# 3b. CACHED-mode model forward (prev memory held constant): isolates the
+# decode-over-2-frame-memory cost from the uncached double-encode above
+_, _, feats_c = step(params, states, batch, orig, pub_b, pub_v, None)
+
+
+def fwd_cached(x, fc):
+    # fc passed as an ARGUMENT: closing over it bakes ~tens of MB of
+    # feature constants into the HLO and the remote-compile hop rejects
+    # the request body (HTTP 413)
+    bt = batch.replace(images=x)
+    out, _, _, _, _ = model.apply(params, bt, targets, fc,
+                                  deterministic=True)
+    s = (jnp.mean(out["pred_logits"]) + jnp.mean(out["pred_boxes"]))
+    return x + s.astype(x.dtype) * 1e-9
+
+
+jfc = jax.jit(fwd_cached)
+y = jfc(imgs, feats_c)
+np.asarray(y.reshape(-1)[:1])
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter()
+    z = imgs
+    for _ in range(K):
+        z = jfc(z, feats_c)
+    np.asarray(z.reshape(-1)[:1])
+    best = min(best, time.perf_counter() - t0 - RTT)
+t_fwd_c = best / K * 1e3
+print(f"{'model forward (cached prev memory)':48s} {t_fwd_c:8.2f} "
+      f"ms/step  ({t_fwd_c/B:6.2f} /frame)", flush=True)
 
 
 def full_step(carry, bt):
@@ -161,9 +230,12 @@ ms_full = best / K * 1e3
 print(f"{'full tracker step (cached feats carried)':48s} {ms_full:8.2f} "
       f"ms/step  ({ms_full/B:6.2f} /frame)")
 
-print("\nattribution (deltas):")
+print("\nattribution (deltas, ms/step):")
 print(f"  backbone                  {t_bb:8.2f}")
-print(f"  model-minus-backbone      {t_fwd - t_bb:8.2f}   (proj+enc+dec+heads, UNcached)")
+print(f"  input proj/pos embeds     {t_proj - t_bb:8.2f}")
+print(f"  windowed encoder (1 fr)   {t_enc - t_proj:8.2f}")
+print(f"  decode+heads (cached mem) {t_fwd_c - t_enc:8.2f}")
 print(f"  postprocess               {t_post - t_fwd:8.2f}")
-print(f"  track logic + cached-mode {ms_full - t_post:8.2f}   (cached enc is CHEAPER; negative ok)")
+print(f"  track logic               {ms_full - t_fwd_c:8.2f}   (incl. query prep/state update)")
+print(f"  uncached fwd (reference)  {t_fwd:8.2f}   (double encode, vs cached {t_fwd_c:8.2f})")
 print(f"  full step                 {ms_full:8.2f}")
