@@ -265,7 +265,10 @@ def main(argv=None):
         state, train_stats = train_one_epoch(
             train_step, state, loader_train, device_put, epoch, rng,
             criterion_cfg.weight_dict, vis=vis,
-            print_freq=args.vis_and_log_interval, debug=args.debug)
+            print_freq=args.vis_and_log_interval, debug=args.debug,
+            profile_dir=(args.tpu.profile_dir
+                         if epoch == start_epoch else ""),
+            profile_steps=args.tpu.profile_steps)
 
         val_stats = {}
         if epoch == args.epochs or (args.val_interval

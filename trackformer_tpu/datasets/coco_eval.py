@@ -23,6 +23,57 @@ AREA_RANGES = {
     "medium": (32.0 ** 2, 96.0 ** 2),
     "large": (96.0 ** 2, 1e10),
 }
+# pycocotools COCOeval.setKpParams sigmas: the 17 COCO person keypoints
+KPT_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
+def kpt_oks(det_kpts: np.ndarray, gt_anns, sigmas=None) -> np.ndarray:
+    """Object-keypoint-similarity matrix (pycocotools computeOks parity).
+
+    det_kpts (Nd, K*3) flat [x, y, v]*; gt_anns: COCO annotation dicts with
+    `keypoints` and `area`. OKS = mean over labeled GT keypoints of
+    exp(-d^2 / (2 area k^2)); when a GT has no labeled keypoints the
+    distances fall back to the GT box with a doubled tolerance window.
+    """
+    if sigmas is None:
+        sigmas = KPT_SIGMAS
+    nd, ng = len(det_kpts), len(gt_anns)
+    ious = np.zeros((nd, ng))
+    if nd == 0 or ng == 0:
+        return ious
+    vars_ = (np.asarray(sigmas) * 2.0) ** 2
+    for gj, ann in enumerate(gt_anns):
+        g = np.asarray(ann["keypoints"], np.float64).reshape(-1, 3)
+        xg, yg, vg = g[:, 0], g[:, 1], g[:, 2]
+        k1 = int((vg > 0).sum())
+        bx, by, bw, bh = ann["bbox"]
+        for di in range(nd):
+            d = np.asarray(det_kpts[di], np.float64).reshape(-1, 3)
+            xd, yd = d[:, 0], d[:, 1]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:  # unlabeled GT: distance to a doubled box window
+                z = np.zeros_like(xd)
+                dx = np.maximum(z, bx - bw - xd) + \
+                    np.maximum(z, xd - (bx + 2 * bw))
+                dy = np.maximum(z, by - bh - yd) + \
+                    np.maximum(z, yd - (by + 2 * bh))
+            e = (dx ** 2 + dy ** 2) / vars_ / (
+                ann.get("area", bw * bh) + np.spacing(1)) / 2.0
+            if k1 > 0:
+                e = e[vg > 0]
+            ious[di, gj] = np.sum(np.exp(-e)) / e.shape[0]
+    return ious
+
+
+def convert_to_xywh(boxes: np.ndarray) -> np.ndarray:
+    """xyxy -> xywh (reference coco_eval.py:169-171)."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 4)
+    return np.stack([boxes[:, 0], boxes[:, 1],
+                     boxes[:, 2] - boxes[:, 0],
+                     boxes[:, 3] - boxes[:, 1]], 1)
 
 
 def box_iou_xywh(det: np.ndarray, gt: np.ndarray,
@@ -57,6 +108,67 @@ class CocoEvaluator:
     def update(self, predictions: Dict[int, dict]) -> None:
         """predictions: {image_id: {'boxes' xyxy, 'scores', 'labels'}}."""
         self.predictions.update(predictions)
+
+    def prepare(self, predictions: Dict[int, dict], iou_type: str):
+        """COCO-format result-list export (reference coco_eval.py:75-82
+        `prepare` dispatch): converts the engine's raw prediction dict into
+        the list-of-dicts layout `loadRes`-style consumers expect."""
+        if iou_type == "bbox":
+            return self.prepare_for_coco_detection(predictions)
+        if iou_type == "segm":
+            return self.prepare_for_coco_segmentation(predictions)
+        if iou_type == "keypoints":
+            return self.prepare_for_coco_keypoint(predictions)
+        raise ValueError(f"Unknown iou type {iou_type}")
+
+    def prepare_for_coco_detection(self, predictions: Dict[int, dict]):
+        """Reference coco_eval.py:84-107."""
+        out = []
+        for image_id, pred in predictions.items():
+            if not len(pred.get("boxes", ())):
+                continue
+            boxes = convert_to_xywh(pred["boxes"]).tolist()
+            scores = np.asarray(pred["scores"]).tolist()
+            labels = np.asarray(pred["labels"]).tolist()
+            out.extend({"image_id": image_id, "category_id": labels[k],
+                        "bbox": box, "score": scores[k]}
+                       for k, box in enumerate(boxes))
+        return out
+
+    def prepare_for_coco_segmentation(self, predictions: Dict[int, dict]):
+        """Reference coco_eval.py:109-141 — masks become compressed RLE
+        via the owned codec (utils/rle.py replaces pycocotools)."""
+        from ..utils import rle as rle_codec
+
+        out = []
+        for image_id, pred in predictions.items():
+            if not len(pred.get("masks", ())):
+                continue
+            scores = np.asarray(pred["scores"]).tolist()
+            labels = np.asarray(pred["labels"]).tolist()
+            for k, m in enumerate(pred["masks"]):
+                enc = (m if isinstance(m, dict)
+                       else rle_codec.encode_mask(np.asarray(m) > 0.5))
+                if isinstance(enc.get("counts"), bytes):
+                    enc = dict(enc, counts=enc["counts"].decode())
+                out.append({"image_id": image_id, "category_id": labels[k],
+                            "segmentation": enc, "score": scores[k]})
+        return out
+
+    def prepare_for_coco_keypoint(self, predictions: Dict[int, dict]):
+        """Reference coco_eval.py:143-167."""
+        out = []
+        for image_id, pred in predictions.items():
+            if not len(pred.get("keypoints", ())):
+                continue
+            scores = np.asarray(pred["scores"]).tolist()
+            labels = np.asarray(pred["labels"]).tolist()
+            kpts = np.asarray(pred["keypoints"], np.float64)
+            kpts = kpts.reshape(len(kpts), -1).tolist()
+            out.extend({"image_id": image_id, "category_id": labels[k],
+                        "keypoints": kp, "score": scores[k]}
+                       for k, kp in enumerate(kpts))
+        return out
 
     def synchronize_between_processes(self):
         """Merge per-process predictions (reference coco_eval.py:58-64).
@@ -118,6 +230,13 @@ class CocoEvaluator:
             g_area = np.array([a.get("area", b[2] * b[3])
                                for a, b in zip(anns, g_boxes)], np.float64)
             g_ignore = g_crowd.astype(bool) | (g_area < lo) | (g_area > hi)
+            if iou_type == "keypoints":
+                # pycocotools: GTs without labeled keypoints are ignored
+                nk = np.array([a.get("num_keypoints", int(
+                    (np.asarray(a.get("keypoints", ()), np.float64)
+                     .reshape(-1, 3)[:, 2] > 0).sum())) for a in anns],
+                    np.int64) if anns else np.zeros(0, np.int64)
+                g_ignore |= nk == 0
             order_g = np.argsort(g_ignore, kind="stable")
             anns = [anns[j] for j in order_g]
             g_boxes, g_crowd, g_ignore = (g_boxes[order_g], g_crowd[order_g],
@@ -142,6 +261,9 @@ class CocoEvaluator:
             if iou_type == "segm":
                 ious, d_area = self._mask_iou(pred, det_idx, anns, g_crowd,
                                               img_id)
+            elif iou_type == "keypoints":
+                kpts = np.asarray(pred["keypoints"], np.float64)
+                ious = kpt_oks(kpts.reshape(len(kpts), -1)[det_idx], anns)
             else:
                 ious = box_iou_xywh(d_xywh, g_boxes, g_crowd)
             t = len(IOU_THRS)
@@ -173,22 +295,30 @@ class CocoEvaluator:
         return tps, scores, n_gt
 
     def _ap_ar(self, cat_ids, area: str = "all", max_det: int = 100,
-               iou_type: str = "bbox"):
+               iou_type: str = "bbox", return_curves: bool = False):
+        t, r = len(IOU_THRS), len(REC_THRS)
         ap_list, ar_list = [], []
-        for cat in cat_ids:
+        # COCOeval.eval layout slices: precision/scores are (T, R, K)
+        prec_out = np.full((t, r, len(cat_ids)), -1.0)
+        score_out = np.full((t, r, len(cat_ids)), -1.0)
+        rec_out = np.full((t, len(cat_ids)), -1.0)
+        for ci, cat in enumerate(cat_ids):
             tps, scores, n_gt = self._evaluate_images(
                 cat, AREA_RANGES[area], max_det, iou_type)
             if n_gt == 0:
                 continue
             all_scores = np.concatenate(scores) if scores else np.zeros(0)
             order = np.argsort(-all_scores, kind="mergesort")
-            tp = np.concatenate([t[0] for t in tps], 1)[:, order] \
-                if tps else np.zeros((len(IOU_THRS), 0), bool)
-            ig = np.concatenate([t[1] for t in tps], 1)[:, order] \
-                if tps else np.zeros((len(IOU_THRS), 0), bool)
+            sorted_scores = all_scores[order]
+            tp = np.concatenate([t_[0] for t_ in tps], 1)[:, order] \
+                if tps else np.zeros((t, 0), bool)
+            ig = np.concatenate([t_[1] for t_ in tps], 1)[:, order] \
+                if tps else np.zeros((t, 0), bool)
             aps, ars = [], []
-            for ti in range(len(IOU_THRS)):
-                t_row = tp[ti][~ig[ti]]
+            for ti in range(t):
+                keep = ~ig[ti]
+                t_row = tp[ti][keep]
+                s_row = sorted_scores[keep]
                 tp_cum = np.cumsum(t_row)
                 fp_cum = np.cumsum(~t_row)
                 rec = tp_cum / n_gt
@@ -197,17 +327,43 @@ class CocoEvaluator:
                 for i in range(len(prec) - 1, 0, -1):
                     prec[i - 1] = max(prec[i - 1], prec[i])
                 idx = np.searchsorted(rec, REC_THRS, side="left")
-                q = np.zeros(len(REC_THRS))
+                q = np.zeros(r)
+                qs = np.zeros(r)
                 valid = idx < len(prec)
                 q[valid] = prec[idx[valid]]
+                qs[valid] = s_row[idx[valid]] if len(s_row) else 0.0
                 aps.append(q.mean())
                 ars.append(rec[-1] if len(rec) else 0.0)
+                prec_out[ti, :, ci] = q
+                score_out[ti, :, ci] = qs
+                rec_out[ti, ci] = rec[-1] if len(rec) else 0.0
             ap_list.append(aps)
             ar_list.append(ars)
         if not ap_list:
-            return np.full(len(IOU_THRS), np.nan), \
-                np.full(len(IOU_THRS), np.nan)
-        return np.mean(ap_list, 0), np.mean(ar_list, 0)
+            ap = ar = np.full(t, np.nan)
+        else:
+            ap, ar = np.mean(ap_list, 0), np.mean(ar_list, 0)
+        if return_curves:
+            return ap, ar, prec_out, score_out, rec_out
+        return ap, ar
+
+    def dump_eval(self, path: str, iou_type: str = "bbox",
+                  max_det: int = 100) -> None:
+        """Persist COCOeval-style PR arrays for offline plotting.
+
+        Mirrors what the reference saves via `torch.save(coco_eval.eval)`
+        and later reads in util/plot_utils.py:93-122 — precision/scores of
+        shape (T, R, K, 1, 1) for area=all plus `recThrs`, consumable by
+        utils/plot_utils.plot_precision_recall. Saved as .npz (no torch
+        dependency on the load side)."""
+        cat_ids = sorted({a["category_id"]
+                          for anns in self.gt.anns_by_image.values()
+                          for a in anns})
+        _, _, prec, score, rec = self._ap_ar(
+            cat_ids, "all", max_det, iou_type, return_curves=True)
+        np.savez(path, precision=prec[:, :, :, None, None],
+                 scores=score[:, :, :, None, None],
+                 recall=rec[:, :, None, None], recThrs=REC_THRS)
 
     def summarize(self) -> Dict[str, List[float]]:
         """The standard 12 COCO statistics per iou_type (reference
@@ -217,8 +373,24 @@ class CocoEvaluator:
                           for a in anns})
         names = ["AP", "AP50", "AP75", "APs", "APm", "APl",
                  "AR1", "AR10", "AR100", "ARs", "ARm", "ARl"]
+        kp_names = ["AP", "AP50", "AP75", "APm", "APl",
+                    "AR", "AR50", "AR75", "ARm", "ARl"]
         out = {}
         for iou_type in self.iou_types:
+            if iou_type == "keypoints":
+                # pycocotools kp protocol: 10 stats, maxDet 20, no "small"
+                ap, ar = self._ap_ar(cat_ids, "all", 20, iou_type)
+                stats = [float(np.nanmean(ap)), float(ap[0]), float(ap[5])]
+                ap_m, ar_m = self._ap_ar(cat_ids, "medium", 20, iou_type)
+                ap_l, ar_l = self._ap_ar(cat_ids, "large", 20, iou_type)
+                stats += [float(np.nanmean(ap_m)), float(np.nanmean(ap_l)),
+                          float(np.nanmean(ar)), float(ar[0]), float(ar[5]),
+                          float(np.nanmean(ar_m)), float(np.nanmean(ar_l))]
+                print(f"COCO eval ({iou_type}):")
+                for n, s in zip(kp_names, stats):
+                    print(f"  {n:6s} = {s:.3f}")
+                out[iou_type] = stats
+                continue
             ap, _ = self._ap_ar(cat_ids, "all", 100, iou_type)
             stats = [float(np.nanmean(ap)), float(ap[0]), float(ap[5])]
             for area in ("small", "medium", "large"):

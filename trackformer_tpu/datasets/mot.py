@@ -9,7 +9,7 @@ side (:44-74), per-sample weight 1/seq_length (:41), `WeightedConcatDataset`
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 
@@ -54,6 +54,53 @@ class MOT(CocoDetection):
                 sample["prev_prev_image"] = pp_img
                 sample["prev_prev_target"] = pp_target
         return sample
+
+    def write_result_files(self, results, output_dir: str,
+                           score_thresh: float = 0.7) -> List[str]:
+        """Dump per-sequence MOT17Det detection files from detector output.
+
+        Parity target: reference mot.py:76-111 (`write_result_files`) — a
+        trained detector's results become a public-detection source
+        (`det.txt`-style): one `<seq>.txt` per sequence with lines
+        `<frame>, -1, <bb_left>, <bb_top>, <bb_w>, <bb_h>, <conf>, -1, -1, -1`
+        keeping detections with score > `score_thresh` (reference hardcodes
+        0.7). `results` is {image_id: {"boxes" xyxy, "scores"}} — the
+        engine's make_results format.
+
+        Deviation (bug fix, repo convention): the sequence/frame split uses
+        rsplit('_', 1) so sequence names containing underscores survive
+        (the reference's split('_') would crash on them).
+
+        Returns the list of files written.
+        """
+        import csv
+        import os
+
+        files: Dict[str, list] = {}
+        for image_id, res in results.items():
+            stem = os.path.splitext(self.images[image_id]["file_name"])[0]
+            if "/" in stem:  # <seq>/img1/<frame>.jpg source layout
+                seq_name, frame = stem.split("/")[0], stem.split("/")[-1]
+            else:  # converter layout <seq>_<frame>.jpg
+                seq_name, frame = stem.rsplit("_", 1)
+            rows = files.setdefault(
+                os.path.join(output_dir, f"{seq_name}.txt"), [])
+            boxes = np.asarray(res["boxes"], np.float64).reshape(-1, 4)
+            scores = np.asarray(res["scores"], np.float64).reshape(-1)
+            for box, score in zip(boxes, scores):
+                if score <= score_thresh:
+                    continue
+                x1, y1, x2, y2 = box
+                rows.append([int(frame), -1, x1, y1, x2 - x1, y2 - y1,
+                             float(score), -1, -1, -1])
+
+        os.makedirs(output_dir, exist_ok=True)
+        for path, rows in files.items():
+            with open(path, "w", newline="") as f:
+                writer = csv.writer(f, delimiter=",")
+                for row in rows:
+                    writer.writerow(row)
+        return sorted(files)
 
 
 class WeightedConcatDataset:

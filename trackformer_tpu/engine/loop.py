@@ -22,19 +22,39 @@ from ..utils.metrics import MetricLogger
 
 def train_one_epoch(train_step, state, loader, device_put, epoch: int,
                     rng, weight_dict: Dict[str, float],
-                    vis=None, print_freq: int = 50, debug: bool = False):
+                    vis=None, print_freq: int = 50, debug: bool = False,
+                    profile_dir: str = "", profile_steps: int = 8):
+    """One training epoch. With `profile_dir` set (tpu.profile_dir), a
+    `jax.profiler` trace of steps [2, 2+profile_steps) — skipping the
+    compile step — is dumped there in TensorBoard/XPlane format with
+    per-step StepTraceAnnotation markers: the TPU-native replacement for
+    the reference's `torch.cuda.max_memory_allocated` meter (SURVEY §5;
+    reference util/misc.py:206-247)."""
     logger = MetricLogger(print_freq, vis=vis, debug=debug)
     header = f"Epoch: [{epoch}]"
-    for pack in logger.log_every(loader, header):
-        pack = device_put(pack)
-        state, metrics = train_step(state, pack, rng)
-        loss_value = float(metrics["loss"])
+    tracing = False
+    for step, pack in enumerate(logger.log_every(loader, header)):
+        if profile_dir and step == 2:
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
+        with jax.profiler.StepTraceAnnotation("train", step_num=step):
+            pack = device_put(pack)
+            state, metrics = train_step(state, pack, rng)
+            loss_value = float(metrics["loss"])
+        if tracing and step >= 2 + profile_steps - 1:
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f"profiler trace written to {profile_dir}")
         if not math.isfinite(loss_value):
+            if tracing:
+                jax.profiler.stop_trace()
             print(f"Loss is {loss_value}, stopping training")
             print({k: float(v) for k, v in metrics.items()})
             sys.exit(1)
         logger.update(**{k: float(v) for k, v in metrics.items()
                          if not k.startswith("_")})
+    if tracing:  # epoch shorter than the trace window
+        jax.profiler.stop_trace()
     return state, {k: m.global_avg for k, m in logger.meters.items()}
 
 

@@ -24,6 +24,9 @@ class FileVis:
         self._iter = open(osp.join(self.dir, "iter_metrics.jsonl"), "a")
         self._epoch = open(osp.join(self.dir, "epoch_metrics.jsonl"), "a")
         self._step = 0
+        # window handle for utils/plot_utils.get_vis_win_names parity
+        # (reference vis.py LineVis.win); here: the vis directory
+        self.win = self.dir
 
     def log_iter(self, metrics: Dict[str, float]):
         self._step += 1
