@@ -132,8 +132,14 @@ def _measure(step, params, state, batch, orig, pub_b, pub_v, rtt, iters,
     flops = None
     if want_flops:
         try:
-            ca = step.lower(params, state, batch, orig, pub_b, pub_v,
-                            feats).cost_analysis()
+            lowered = step.lower(params, state, batch, orig, pub_b, pub_v,
+                                 feats)
+            ca = lowered.cost_analysis()
+            if not ca or "flops" not in ca:
+                # the axon PJRT plugin returns None client-side; the
+                # compiled executable DOES carry the analysis, and the
+                # step just ran so this compile() is a warm cache hit
+                ca = lowered.compile().cost_analysis()
             flops = float(ca["flops"]) if ca and "flops" in ca else None
         except Exception as e:
             print(f"# cost_analysis unavailable: {type(e).__name__}: {e}",

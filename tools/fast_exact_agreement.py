@@ -422,6 +422,10 @@ def main():
         result["ablations"] = ablations
     out = Path(__file__).resolve().parent.parent / (
         f"AGREEMENT_s{SEED}.json" if SEED else "AGREEMENT.json")
+    if out.exists():  # preserve the tracking-level section
+        prev = json.loads(out.read_text())
+        if "tracking" in prev:
+            result["tracking"] = prev["tracking"]
     out.write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))
 
