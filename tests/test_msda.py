@@ -125,7 +125,9 @@ def test_dense_and_gather_paths_identical():
 
     dense = run(10**9, *args)   # every level dense
     gather = run(0, *args)      # every level gathered
-    mixed = run(LQ * M * SHAPES[1][0] * SHAPES[1][1], *args)  # split
+    # split: level 1 dense, level 0 gathered with a COMPACT (level-0-only)
+    # table (budget is batch-aware: N*Lq*M*cells)
+    mixed = run(N * LQ * M * SHAPES[1][0] * SHAPES[1][1], *args)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(gather),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(mixed), np.asarray(gather),
@@ -138,4 +140,84 @@ def test_dense_and_gather_paths_identical():
     g_gather = jax.grad(loss, argnums=(1, 2, 3))(0, *args)
     for gd, gg in zip(g_dense, g_gather):
         np.testing.assert_allclose(np.asarray(gd), np.asarray(gg),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_gather_sort_and_compact_paths_exact():
+    """The round-5 gather-path options — COMPACT per-level tables and
+    snake-bucket query SORT (pure permutations) — must not change numerics
+    in any combination, forward and backward."""
+    from trackformer_tpu.ops import msda
+
+    value, loc, attn = make_inputs(seed=11)
+    args = (jnp.array(value), jnp.array(loc), jnp.array(attn))
+    split_budget = N * LQ * M * SHAPES[1][0] * SHAPES[1][1]
+
+    def run(v, l, a):
+        # level 0 gathered (compact-eligible), level 1 dense
+        return ms_deform_attn(v, SHAPES, l, a,
+                              dense_cell_budget=split_budget)
+
+    def loss(v, l, a):
+        return jnp.sum(run(v, l, a) ** 2)
+
+    base_sort, base_comp = msda.MSDA_GATHER_SORT, msda.MSDA_GATHER_COMPACT
+    results, grads = {}, {}
+    try:
+        for sort in ("0", "1"):
+            for comp in (False, True):
+                msda.MSDA_GATHER_SORT = sort
+                msda.MSDA_GATHER_COMPACT = comp
+                ms_deform_attn.clear_cache()
+                results[(sort, comp)] = np.asarray(run(*args))
+                grads[(sort, comp)] = jax.grad(
+                    loss, argnums=(0, 1, 2))(*args)
+    finally:
+        msda.MSDA_GATHER_SORT = base_sort
+        msda.MSDA_GATHER_COMPACT = base_comp
+        ms_deform_attn.clear_cache()
+
+    ref = results[("0", False)]
+    for key, got in results.items():
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7,
+                                   err_msg=str(key))
+    gref = grads[("0", False)]
+    for key, g in grads.items():
+        for a, b in zip(g, gref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=str(key))
+
+
+def test_decoder_skip_path_exact():
+    """The round-5 decoder block-skip route (v4p with a caller-supplied
+    spatial sort for small scattered query sets) must match the gather
+    path exactly, forward and backward, including out-of-bounds points."""
+    from trackformer_tpu.ops import msda
+
+    value, loc, attn = make_inputs(seed=13)
+    args = (jnp.array(value), jnp.array(loc), jnp.array(attn))
+
+    def run(pallas, v, l, a):
+        return ms_deform_attn(v, SHAPES, l, a, dense_cell_budget=0,
+                              pallas_dense=pallas)
+
+    def loss(pallas, v, l, a):
+        return jnp.sum(run(pallas, v, l, a) ** 2)
+
+    base_v1 = msda.PALLAS_DENSE_MAX_CELLS
+    try:
+        # kill the v1 route so BOTH levels land on dec_skip (Lq < 4096)
+        msda.PALLAS_DENSE_MAX_CELLS = 0
+        ms_deform_attn.clear_cache()
+        got = np.asarray(run(True, *args))
+        g_skip = jax.grad(loss, argnums=(1, 2, 3))(True, *args)
+    finally:
+        msda.PALLAS_DENSE_MAX_CELLS = base_v1
+        ms_deform_attn.clear_cache()
+    ref = np.asarray(run(False, *args))
+    g_ref = jax.grad(loss, argnums=(1, 2, 3))(False, *args)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    for a, b in zip(g_skip, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)

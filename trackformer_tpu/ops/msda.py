@@ -122,10 +122,14 @@ def _dense_level_out(value_l, loc_l, attn_l, h, w):
                       preferred_element_type=jnp.float32)
 
 
-# dense path for a level when Lq*M*cells is below this budget (measured on
-# v5e: the decoder's coarse levels win big, the finest level and every
-# encoder level — where Lq is the full token count — stay on the gather)
-DENSE_CELL_BUDGET = 32_000_000
+# dense path for a level when N*Lq*M*cells is below this budget.  Batch-aware
+# since round 5: the XLA dense path materializes an (N, Lq, M, H*W) hat in
+# HBM, so its cost scales with N while the v1 Pallas kernel builds the hat
+# in VMEM — measured on v5e at decoder shapes (tools/bench_decoder_msda_route
+# .py, B=8): v1 wins every dense level (L1 2.29 vs 2.76 ms, L2 0.67 vs 1.11,
+# L3 0.18 vs 0.69) and at B=1 wins L1 (0.026 vs 0.173).  8M keeps only the
+# cheapest B=1 levels on the XLA path.
+DENSE_CELL_BUDGET = 8_000_000
 
 # Pallas generated-LHS-matmul paths (ops/msda_dense.py) for levels that
 # overflow the XLA dense budget.  v2 (block-skipping, row tiles) needs
@@ -156,6 +160,32 @@ PALLAS_V2_MIN_QUERIES = 4096
 PALLAS_SKIP_IMPL = os.environ.get("PALLAS_SKIP_IMPL", "v5")
 PALLAS_V4_CW = 64
 PALLAS_V4_SORT = True
+
+# Gather-path tuning (decoder shapes; tools/bench_decoder_msda_route.py on
+# v5e).  COMPACT gathers each level from its OWN per-item (M*cells, D)
+# table instead of one (M*S, D) all-levels table — smaller tables gather
+# with better HBM locality (B=8: 5.74 vs 7.27 ms for the two fine levels;
+# B=1: 0.86 vs 1.73).  SORT additionally orders queries by a static
+# snake-bucket walk over their mean sampling location so neighbour queries'
+# corner rows cluster — combined with per-level tables a 6x win at B=1
+# (0.285 ms, ~the machine's clustered-gather roofline) but a slight loss at
+# B=8 where the per-item gathers already pipeline; "auto" sorts only
+# single-item calls.  Both are pure permutations — numerics are exact.
+MSDA_GATHER_COMPACT = os.environ.get("MSDA_GATHER_COMPACT", "1") == "1"
+MSDA_GATHER_SORT = os.environ.get("MSDA_GATHER_SORT", "auto")
+
+# DECODER block-skipping (round 5): the v2/v4 kernels were gated on
+# Lq >= PALLAS_V2_MIN_QUERIES because block-skipping needs query raster
+# locality, which encoder self-queries have for free.  Decoder queries are
+# scattered — but sorting them by mean sampling location (spatial_sort_perm)
+# restores the locality, and the v4p kernel takes exactly such a
+# caller-supplied permutation.  MEASURED NEGATIVE on v5e at decoder shapes
+# (tools/bench_decoder_pieces.py, 8-level op call): B=8 49.6 ms vs 14.1 for
+# the compact XLA gather, B=1 5.8 vs ~1.1 — even sorted, 640 scattered
+# queries leave each q-tile walking most of the level, and the walk's DMA
+# grid overhead swamps the gather it replaces.  Kept as a tested variant
+# (tests/test_msda.py::test_decoder_skip_path_exact), default OFF.
+MSDA_DEC_SKIP = os.environ.get("MSDA_DEC_SKIP", "0") == "1"
 
 
 def _on_tpu() -> bool:
@@ -204,7 +234,7 @@ def ms_deform_attn(value: jnp.ndarray,
         return out.astype(value.dtype).reshape(n, lq, m * d)
 
     dense_levels = [i for i, (h, w) in enumerate(spatial_shapes)
-                    if lq * m * h * w <= dense_cell_budget]
+                    if n * lq * m * h * w <= dense_cell_budget]
     v2_levels = [i for i, (h, w) in enumerate(spatial_shapes)
                  if pallas_dense and i not in dense_levels
                  and lq >= PALLAS_V2_MIN_QUERIES
@@ -213,9 +243,15 @@ def ms_deform_attn(value: jnp.ndarray,
                  if pallas_dense and i not in dense_levels
                  and i not in v2_levels
                  and h * w <= PALLAS_DENSE_MAX_CELLS]
+    dec_skip_levels = [i for i, (h, w) in enumerate(spatial_shapes)
+                      if MSDA_DEC_SKIP and pallas_dense
+                      and lq < PALLAS_V2_MIN_QUERIES
+                      and i not in dense_levels and i not in v2_levels
+                      and i not in v1_levels
+                      and h * w <= PALLAS_V2_MAX_CELLS]
     gather_levels = [i for i in range(l)
                      if i not in dense_levels and i not in v2_levels
-                     and i not in v1_levels]
+                     and i not in v1_levels and i not in dec_skip_levels]
 
     v4 = PALLAS_SKIP_IMPL == "v4"
     perm = None
@@ -223,6 +259,12 @@ def ms_deform_attn(value: jnp.ndarray,
         from .msda_dense import spatial_sort_perm
         h0, w0 = spatial_shapes[0]
         perm = spatial_sort_perm(sampling_locations[:, :, :, 0], h0, w0)
+    dec_perm = None
+    if dec_skip_levels:
+        from .msda_dense import spatial_sort_perm
+        g0 = dec_skip_levels[0]
+        h0, w0 = spatial_shapes[g0]
+        dec_perm = spatial_sort_perm(sampling_locations[:, :, :, g0], h0, w0)
 
     acc = jnp.zeros((n, lq, m, d), jnp.float32)
     offset = 0
@@ -232,6 +274,13 @@ def ms_deform_attn(value: jnp.ndarray,
                 value[:, offset:offset + h * w],
                 sampling_locations[:, :, :, i],
                 attention_weights[:, :, :, i], h, w)
+        elif i in dec_skip_levels:
+            from .msda_dense import dense_level_pallas_v4p
+            acc = acc + dense_level_pallas_v4p(
+                value[:, offset:offset + h * w],
+                sampling_locations[:, :, :, i],
+                attention_weights[:, :, :, i], dec_perm, h, w,
+                PALLAS_V4_CW, not _on_tpu())
         elif i in v2_levels or i in v1_levels:
             from .msda_dense import (dense_level_pallas,
                                      dense_level_pallas_v2,
@@ -258,13 +307,65 @@ def ms_deform_attn(value: jnp.ndarray,
         offset += h * w
 
     if gather_levels:
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,))
+
+        # SORT: cluster queries by sampling location (see knob comment)
+        do_sort = (MSDA_GATHER_SORT == "1"
+                   or (MSDA_GATHER_SORT == "auto" and n == 1))
+        if do_sort:
+            h0, w0 = spatial_shapes[gather_levels[0]]
+            mloc = sampling_locations[:, :, :, gather_levels[0]].mean(
+                axis=(2, 3))  # (N, Lq, 2)
+            nx, ny = max(1, w0 // 8), max(1, h0 // 8)
+            bx = jnp.clip((mloc[..., 0] * nx).astype(jnp.int32), 0, nx - 1)
+            by = jnp.clip((mloc[..., 1] * ny).astype(jnp.int32), 0, ny - 1)
+            bxs = jnp.where(by % 2 == 0, bx, nx - 1 - bx)
+            perm = jnp.argsort(by * nx + bxs, axis=1)  # (N, Lq)
+            inv = jnp.argsort(perm, axis=1)
+
+        if MSDA_GATHER_COMPACT:
+            # per-(item, level) tables: each level gathered from its own
+            # (M*cells, D) table — the smallest table the rows can live in
+            kl = p * 4
+            level_off = [0]
+            for h, w in spatial_shapes:
+                level_off.append(level_off[-1] + h * w)
+            outs = []
+            for i in range(n):
+                acc_i = jnp.zeros((lq, m, d), jnp.float32)
+                for lvl in gather_levels:
+                    h, w = spatial_shapes[lvl]
+                    off = level_off[lvl]
+                    idx_l, w_l = _corner_indices_weights(
+                        ((h, w),),
+                        sampling_locations[i:i + 1, :, :, lvl:lvl + 1],
+                        attention_weights[i:i + 1, :, :, lvl:lvl + 1])
+                    idx_l = idx_l[0].reshape(lq, m, kl)  # head-major rows
+                    w_l = w_l[0].reshape(lq, m, kl)
+                    if do_sort:
+                        idx_l = jnp.take(idx_l, perm[i], axis=0)
+                        w_l = jnp.take(w_l, perm[i], axis=0)
+                    table = value[i, off:off + h * w].transpose(
+                        1, 0, 2).reshape(m * h * w, d)
+                    g = jax.lax.gather(
+                        table, idx_l.reshape(-1, 1), dn, slice_sizes=(1, d),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                    g = g.reshape(lq, m, kl, d)
+                    acc_i = acc_i + jnp.einsum(
+                        "qmk,qmkd->qmd", w_l.astype(value.dtype), g,
+                        preferred_element_type=jnp.float32)
+                if do_sort:
+                    acc_i = jnp.take(acc_i, inv[i], axis=0)
+                outs.append(acc_i)
+            acc = acc + jnp.stack(outs)
+            return acc.astype(value.dtype).reshape(n, lq, m * d)
+
         idx, weights = _corner_indices_weights(
             spatial_shapes, sampling_locations, attention_weights,
             levels=gather_levels)
         k = len(gather_levels) * p * 4
-        dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1,), collapsed_slice_dims=(0,),
-            start_index_map=(0,))
         value_nm = value.transpose(0, 2, 1, 3)  # (N, M, S, D)
 
         # Gather per batch item: gather throughput degrades sharply with
@@ -274,15 +375,21 @@ def ms_deform_attn(value: jnp.ndarray,
         per_item = m * s
         for i in range(n):
             table = value_nm[i].reshape(per_item, d)
-            idx_i = idx[i].reshape(-1, 1) - i * per_item
+            idx_i = idx[i] - i * per_item
+            w_i = weights[i].reshape(lq, m, k)
+            if do_sort:
+                idx_i = jnp.take(idx_i, perm[i], axis=0)
+                w_i = jnp.take(w_i, perm[i], axis=0)
             g = jax.lax.gather(
-                table, idx_i, dn, slice_sizes=(1, d),
+                table, idx_i.reshape(-1, 1), dn, slice_sizes=(1, d),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
             g = g.reshape(lq, m, k, d)
-            outs.append(jnp.einsum(
-                "qmk,qmkd->qmd",
-                weights[i].reshape(lq, m, k).astype(value.dtype),
-                g, preferred_element_type=jnp.float32))
+            o = jnp.einsum(
+                "qmk,qmkd->qmd", w_i.astype(value.dtype),
+                g, preferred_element_type=jnp.float32)
+            if do_sort:
+                o = jnp.take(o, inv[i], axis=0)
+            outs.append(o)
         acc = acc + jnp.stack(outs)
     return acc.astype(value.dtype).reshape(n, lq, m * d)
 
