@@ -248,7 +248,7 @@ def main():
             msda.PALLAS_SKIP_IMPL = msda_impl
         msda_impl_ms = routes.get("msda_impl_bench_ms", {})
         we.GATHER_LAYOUT = routes.get("window_layout") == "gather"
-        we.ATTN_IMPL = routes.get("window_attn_impl", "module")
+        we.ATTN_IMPL = routes.get("window_attn_impl", "auto")
         if routes.get("smallops_fused"):
             we.FUSION_IMPL, att.QK_FUSED = "batched", True
         variant_ms = {k: v / 1e3 for k, v in
@@ -476,10 +476,12 @@ def main():
                 lambda: setattr(we, "GATHER_LAYOUT", True),
                 lambda: setattr(we, "GATHER_LAYOUT", False))
         if forced_attn is None:
+            # baseline is "auto" (fused at the headline batch since r5);
+            # the A/B forces the MODULE path to confirm auto's pick
             try_variant(
-                "fused_window_attn",
-                lambda: setattr(we, "ATTN_IMPL", "fused"),
-                lambda: setattr(we, "ATTN_IMPL", "module"))
+                "module_window_attn",
+                lambda: setattr(we, "ATTN_IMPL", "module"),
+                lambda: setattr(we, "ATTN_IMPL", "auto"))
         if forced_smallops is None:
             def _set_smallops():
                 we.FUSION_IMPL, att.QK_FUSED = "batched", True

@@ -71,16 +71,23 @@ GATHER_LAYOUT = os.environ.get("WINDOW_GATHER_LAYOUT", "0") == "1"
 # equivalence). Module-level so bench.py can A/B both on the live chip.
 FUSION_IMPL = os.environ.get("WINDOW_FUSION_IMPL", "perlevel")
 
-# Attention-layer strategy. "module" (default): MultiHeadAttention +
+# Attention-layer strategy. "module": MultiHeadAttention +
 # nn.LayerNorm/nn.Dense chain (one fused attention call over all levels'
 # windows, ~20 XLA ops per layer — each latency-bound at this scale).
 # "fused": the ENTIRE layer body (qkv, windowed attention, out proj,
 # residual+LN, FFN, residual+LN) as ONE Pallas kernel over tiles of GW
 # windows (ops/window_attn.py) — identical parameter tree (fused_params)
 # and numerics (tests/test_window_attn.py). Deterministic/dropout-0 path
-# only; training with dropout keeps the module path. Module-level so
-# bench.py can A/B both on the live chip and route the winner.
-ATTN_IMPL = os.environ.get("WINDOW_ATTN_IMPL", "module")
+# only; training with dropout keeps the module path. "auto" (default,
+# round 5): fused for DETERMINISTIC batch>=4 calls on TPU, module
+# otherwise — measured v5e at flagship scale (tools/bench_encoder_pieces):
+# the module path's f32 logits + d_head=36 MXU padding stop scaling with
+# batch (attention core 0.37 ms at B=1 but 7.58 at B=8), so the VMEM
+# kernel wins big at B=8 (full 6-layer encoder 70.45 vs 95.93 ms) while
+# the module path stays ahead at B=1 (5.6 vs 6.7, PLAN.md r4). The kernel
+# is forward-only (no VJP), hence never on training paths. Module-level so
+# bench.py can A/B all three on the live chip and route the winner.
+ATTN_IMPL = os.environ.get("WINDOW_ATTN_IMPL", "auto")
 
 
 def _pad_hw(x: jnp.ndarray, win: int) -> Tuple[jnp.ndarray, int, int]:
@@ -259,8 +266,12 @@ class WindowedEncoderLayer(nn.Module):
 
             xw = jnp.concatenate(xw_all, axis=0)   # (sum_nwin, win^2, C)
 
-        if ATTN_IMPL == "fused" and (deterministic or self.dropout == 0.0):
-            from ..ops.msda import _on_tpu
+        from ..ops.msda import _on_tpu
+        use_fused = (
+            (ATTN_IMPL == "fused" and (deterministic or self.dropout == 0.0))
+            or (ATTN_IMPL == "auto" and deterministic and _on_tpu()
+                and levels[0].shape[0] >= 4))
+        if use_fused:
             from ..ops.window_attn import fused_window_layer
 
             ap = _AttnParams(self.d_model, name="self_attn")()
